@@ -1,0 +1,281 @@
+"""LinearSystem / QuadraticSystem — the trace -> matrix -> solve API.
+
+API-parity with the reference (``/root/reference/gf2bv/__init__.py:146-408``)
+on a packed-array data model: ``get_eqs`` stacks the zeros' coefficient rows
+into one (rows, W64) uint64 matrix instead of flattening big-ints, and the
+solve routes to the JAX/TPU Gauss-Jordan engine (ops/solver.py) instead of
+M4RI.  Semantics preserved exactly:
+
+* unsat early-out when a traced equation is the literal 1  (ref :231-233)
+* ``solve_one`` -> one solution tuple or None             (ref :273-277)
+* ``solve_all`` -> generator over the full affine space, raising
+  DimensionTooLargeError (with ``.space`` attached) past max_dimension
+                                                           (ref :259-271)
+* ``convert_sol`` splits the raw solution int by variable block sizes
+                                                           (ref :242-251)
+* systems are picklable via ``__reduce__``                 (ref :164-165)
+* QuadraticSystem: linearization with n(n-1)/2 extra monomial columns,
+  ``mul_bit`` / ``bit_assert`` / consistency filtering     (ref :290-408)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import packing
+from .affine import AffineSpace
+from .bitvec import BitVec
+
+Zeros = Sequence["BitVec | int"]
+
+
+class DimensionTooLargeError(Exception):
+    def __init__(self, message: str, space: AffineSpace):
+        super().__init__(message)
+        self.space = space
+
+
+class LinearSystem:
+    def __init__(self, sizes, backend: str | None = None):
+        self._sizes = list(sizes)
+        self._cols = sum(self._sizes)
+        self._nbits = 1 + self._cols  # packed bit 0 = affine constant
+        self._backend = backend
+
+        nw = packing.nwords64(self._nbits)
+        _vars: list[BitVec] = []
+        i = 1
+        for size in self._sizes:
+            rows = packing.bit_rows(self._nbits, np.arange(i, i + size))
+            _vars.append(BitVec(rows, self._nbits))
+            i += size
+        self._vars = tuple(_vars)
+        self._nw = nw
+
+    # -- generators ---------------------------------------------------------
+
+    def gens(self) -> tuple[BitVec, ...]:
+        return self._vars
+
+    def __reduce__(self):
+        return (self.__class__, (self._sizes,))
+
+    @property
+    def cols(self) -> int:
+        return self._cols
+
+    # -- equation assembly ----------------------------------------------------
+
+    def get_eqs_packed(self, zeros: Zeros) -> np.ndarray:
+        """Stack zeros into a packed (rows, W64) matrix, dropping zero rows."""
+        blocks = []
+        for bv in zeros:
+            if isinstance(bv, BitVec):
+                blocks.append(bv.rows)
+            elif bv:  # raw int mask (e.g. from bit_assert); 0 is dropped
+                blocks.append(packing.int_to_words(bv, self._nbits)[None, :])
+        if not blocks:
+            return np.zeros((0, self._nw), dtype=np.uint64)
+        mat = np.concatenate(blocks, axis=0)
+        return mat[mat.any(axis=1)]
+
+    def get_eqs(self, zeros: Zeros) -> list[int]:
+        """Reference-compatible: the equations as big-int masks (ref :214-227)."""
+        return packing.rows_to_ints(self.get_eqs_packed(zeros))
+
+    # -- solving --------------------------------------------------------------
+
+    def _solve_internal(self, zeros: Zeros, mode: int):
+        from ..ops import solver
+
+        eqs = self.get_eqs_packed(zeros)
+        # literal 1 == unsatisfiable 0*x = 1 (ref :231-233): the row has only
+        # the affine bit set.
+        lit_one = (eqs[:, 0] == 1) & ~eqs[:, 1:].any(axis=1)
+        if lit_one.any():
+            return None
+        return solver.solve(eqs, self._cols, mode, backend=self._backend)
+
+    def _convert_sol(self, s: int) -> tuple[int, ...]:
+        sol = []
+        for size in self._sizes:
+            sol.append(s & ((1 << size) - 1))
+            s >>= size
+        assert s == 0, "Invalid solution"
+        return tuple(sol)
+
+    def convert_sol(self, s: int) -> Optional[tuple[int, ...]]:
+        return self._convert_sol(s)
+
+    def solve_raw_one(self, zeros: Zeros) -> Optional[int]:
+        return self._solve_internal(zeros, 0)
+
+    def solve_raw_space(self, zeros: Zeros) -> Optional[AffineSpace]:
+        return self._solve_internal(zeros, 1)
+
+    def solve_all(self, zeros: Zeros, *, max_dimension: int = 16):
+        space = self.solve_raw_space(zeros)
+        if space is None:
+            return
+        if space.dimension > max_dimension:
+            raise DimensionTooLargeError(
+                f"Solution space (dim {space.dimension}) is too large, try "
+                f"increase max_dimension ({max_dimension}) if you want "
+                f"(there will be 2**dim solutions)",
+                space=space,
+            )
+        for s in space:
+            ret = self.convert_sol(s)
+            if ret is not None:
+                yield ret
+
+    def solve_one(self, zeros: Zeros):
+        sol = self._solve_internal(zeros, 0)
+        if sol is None:
+            return
+        return self.convert_sol(sol)
+
+    def evaluate(self, bv: BitVec, sol: tuple[int, ...]) -> int:
+        s = 0
+        for v, sz in zip(reversed(sol), reversed(self._sizes)):
+            s <<= sz
+            s |= v
+        return bv.evaluate(s)
+
+    # -- interop (replaces the reference's Sage-PNG export, ref :194-212) -----
+
+    def get_mat_numpy(self, zeros: Zeros) -> tuple[np.ndarray, np.ndarray]:
+        """Dense (rows, cols) uint8 matrix A and RHS vector b with Ax = b."""
+        eqs = self.get_eqs_packed(zeros)
+        bits = packing.unpack_rows(eqs, self._nbits)
+        return bits[:, 1:], bits[:, 0]
+
+    def get_sage_mat(self, zeros: Zeros):
+        """Sage interop kept by name (ref :194-212); builds via numpy."""
+        from sage.all import GF, matrix, vector  # type: ignore
+
+        a, b = self.get_mat_numpy(zeros)
+        return matrix(GF(2), a), vector(GF(2), b)
+
+    get_sage_mat_slow = get_sage_mat
+
+
+class QuadraticSystem(LinearSystem):
+    def __init__(self, sizes, backend: str | None = None):
+        n = sum(sizes)
+        quad_terms = n * (n - 1) // 2
+        super().__init__(list(sizes) + [quad_terms], backend=backend)
+        self._quad_sizes = list(sizes)
+        self._lin_size = n
+        self._quad_size = quad_terms
+        # lower-triangle (i > j) index pairs in the reference's monomial order
+        # (i outer, j inner — _internal.c:583-599)
+        self._tri_i, self._tri_j = np.tril_indices(n, k=-1)
+
+    def gens(self):
+        return super().gens()[:-1]
+
+    def __reduce__(self):
+        return (self.__class__, (self._quad_sizes,))
+
+    # -- degree-2 ops ----------------------------------------------------------
+
+    def _mul_bit_rows(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Packed product of two affine bit rows; reference semantics
+        (ref :334-338 + _internal.c:538-604): constant & x_i^2=x_i terms from
+        (a & const_lin_mask) & b, cross terms (a_i b_j ^ a_j b_i) x_i x_j."""
+        n = self._lin_size
+        abits = packing.unpack_rows(a[None, :], 1 + n)[0]
+        bbits = packing.unpack_rows(b[None, :], 1 + n)[0]
+        # v = (a & const_lin_mask) & b, i.e. elementwise AND on bits 0..n
+        out = np.zeros(self._nbits, dtype=np.uint8)
+        out[: 1 + n] = abits & bbits
+        al, bl = abits[1:], bbits[1:]
+        cross = (al[self._tri_i] & bl[self._tri_j]) ^ (al[self._tri_j] & bl[self._tri_i])
+        out[1 + n :] = cross
+        return packing.pack_bits(out[None, :], self._nbits)[0]
+
+    def mul_bit(self, a: BitVec, b: BitVec) -> BitVec:
+        if len(a) != 1 or len(b) != 1:
+            raise ValueError("The inputs should be single bits")
+        row = self._mul_bit_rows(a.rows[0], b.rows[0])
+        return BitVec(row[None, :], self._nbits)
+
+    def mul_bits(self, a: BitVec, b: BitVec) -> BitVec:
+        """Vectorized elementwise product of two equal-width BitVecs (new
+        capability: batches what the reference can only do bit-by-bit)."""
+        if len(a) != len(b):
+            raise ValueError("Widths must match")
+        n = self._lin_size
+        abits = packing.unpack_rows(a.rows, 1 + n)
+        bbits = packing.unpack_rows(b.rows, 1 + n)
+        out = np.zeros((len(a), self._nbits), dtype=np.uint8)
+        out[:, : 1 + n] = abits & bbits
+        al, bl = abits[:, 1:], bbits[:, 1:]
+        out[:, 1 + n :] = (al[:, self._tri_i] & bl[:, self._tri_j]) ^ (
+            al[:, self._tri_j] & bl[:, self._tri_i]
+        )
+        return BitVec(packing.pack_bits(out, self._nbits), self._nbits)
+
+    def _bit_assert_rows(self, a: np.ndarray, v: int) -> list[np.ndarray]:
+        n = self._lin_size
+        assert v in (0, 1), "Invalid bit"
+        abits = packing.unpack_rows(a[None, :], self._nbits)[0]
+        assert abits[1:].any(), "a should not be a constant"
+        assert not abits[1 + n :].any(), "Not a linear term"
+        const = np.zeros_like(a)
+        const[0] = np.uint64(v)
+        zeros = [a ^ const]
+        for i in range(1, 1 + n):
+            brow = packing.bit_rows(self._nbits, np.array([i]))[0]
+            if abits[i] and abits.sum() == 1:  # a == basis bit i
+                continue
+            prod = self._mul_bit_rows(a, brow)
+            zeros.append(prod if v == 0 else prod ^ brow)
+        return zeros
+
+    def bit_assert(self, a: BitVec, v: int) -> list[BitVec]:
+        """Consistency equations pinning bit ``a`` to constant ``v``
+        (ref :345-368): a ^ v plus a*b_i = v*b_i for every linear basis bit."""
+        if len(a) != 1:
+            raise ValueError("The input should be a single bit")
+        rows = self._bit_assert_rows(a.rows[0], v)
+        return [BitVec(r[None, :], self._nbits) for r in rows]
+
+    # -- solution filtering ------------------------------------------------------
+
+    def _check_lin_match_quad(self, lin: int, quad: int) -> bool:
+        n = self._lin_size
+        lin_bits = packing.mask_bits(n, lin)
+        assert lin >> n == 0, "Invalid linear part"
+        expected = lin_bits[self._tri_i] & lin_bits[self._tri_j]
+        quad_bits = packing.mask_bits(self._quad_size, quad) if self._quad_size else (
+            np.zeros(0, dtype=np.uint8)
+        )
+        assert quad >> self._quad_size == 0, "Invalid quadratic part"
+        return bool(np.array_equal(expected, quad_bits))
+
+    def convert_sol(self, s: int) -> Optional[tuple[int, ...]]:
+        lin = s & ((1 << self._lin_size) - 1)
+        s >>= self._lin_size
+        quad = s & ((1 << self._quad_size) - 1)
+        s >>= self._quad_size
+        assert s == 0, "Invalid solution"
+        if self._check_lin_match_quad(lin, quad):
+            return super()._convert_sol(lin)[:-1]
+        return None
+
+    def solve_one(self, zeros: Zeros):
+        # A raw one-solution solve might not pass the consistency filter
+        # (ref :395-398): route through solve_all.
+        for sol in self.solve_all(zeros):
+            return sol
+
+    def evaluate(self, bv: BitVec, sol: tuple[int, ...]) -> int:
+        s = 0
+        for v, sz in zip(reversed(sol), reversed(self._quad_sizes)):
+            s <<= sz
+            s |= v
+        return bv.evaluate(s)

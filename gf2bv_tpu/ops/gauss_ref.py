@@ -1,0 +1,87 @@
+"""Slow, obviously-correct host GF(2) solver — the in-repo oracle.
+
+Plays the role Sage's ``solve_right`` plays for the reference
+(``/root/reference/examples/sage_mt.py:39-43``): an independent implementation
+the fast solvers are differentially tested against.  Pure numpy over an
+unpacked uint8 bit matrix; Gauss-Jordan to reduced row echelon form.
+
+Input convention matches the packed equation matrix: column 0 is the affine
+constant (the right-hand side b), columns ``1..cols`` the variables, i.e. a
+row encodes ``b + a_1 x_1 + ... + a_n x_n = 0``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import packing
+
+
+@dataclass
+class RefSolution:
+    """RREF-canonical solution of a GF(2) affine system."""
+
+    consistent: bool
+    rank: int
+    # packed over `cols` bits: bit k = variable k+1
+    origin: np.ndarray | None  # (Wsol,) uint64
+    basis: np.ndarray | None  # (dim, Wsol) uint64
+    pivot_cols: np.ndarray | None  # (rank,) int64, 1-based variable columns
+
+    @property
+    def dimension(self) -> int:
+        return 0 if self.basis is None else self.basis.shape[0]
+
+
+def rref_bits(mat: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """In-place-free Gauss-Jordan on an unpacked (rows, ncols) uint8 matrix.
+
+    Pivots on columns 1.. (column 0 is the RHS).  Returns (rref, pivot_cols).
+    """
+    a = mat.astype(np.uint8).copy()
+    rows, ncols = a.shape
+    pivots: list[int] = []
+    r = 0
+    for c in range(1, ncols):
+        if r >= rows:
+            break
+        nz = np.nonzero(a[r:, c])[0]
+        if nz.size == 0:
+            continue
+        p = r + nz[0]
+        if p != r:
+            a[[r, p]] = a[[p, r]]
+        sel = a[:, c].copy()
+        sel[r] = 0
+        a ^= np.outer(sel, a[r])
+        pivots.append(c)
+        r += 1
+    return a, pivots
+
+
+def solve_oracle(eqs: np.ndarray, cols: int) -> RefSolution:
+    """Solve a packed (rows, W64) system over ``cols`` variables.
+
+    Returns origin with free variables = 0 and the canonical RREF kernel
+    basis (one vector per free column, ordered by column index).
+    """
+    nbits = 1 + cols
+    bits = packing.unpack_rows(eqs, nbits)
+    rref, pivots = rref_bits(bits)
+    rank = len(pivots)
+
+    # Inconsistent iff some row is 1 = 0 (only the constant bit set).
+    if rank < rref.shape[0]:
+        tail = rref[rank:]
+        if np.any(tail[:, 0] & (tail[:, 1:].sum(axis=1) == 0)):
+            return RefSolution(False, rank, None, None, None)
+    pivot_cols = np.asarray(pivots, dtype=np.int64)
+
+    from . import extract
+
+    pivot_rows = packing.pack_bits(rref[:rank], nbits)
+    origin = extract.build_origin(pivot_rows, pivot_cols, cols)
+    basis = extract.build_basis(pivot_rows, pivot_cols, cols)
+    return RefSolution(True, rank, origin, basis, pivot_cols)

@@ -1,0 +1,68 @@
+"""Solver dispatch: route a packed GF(2) system to a backend.
+
+The device-facing analog of the reference's single native entry point
+``m4ri_solve(eqs, cols, mode)`` (``/root/reference/gf2bv/_internal.c:359``):
+
+* mode 0 -> one particular solution as a raw int, or None if unsatisfiable
+* mode 1 -> the full affine solution space, or None if unsatisfiable
+
+Backends:
+* ``jax``     — Gauss-Jordan on the default JAX device (TPU), gauss_jax.py
+* ``blocked`` — panel-blocked elimination (TPU, large systems), gauss_blocked.py
+* ``oracle``  — slow host numpy reference, gauss_ref.py
+
+``auto`` picks blocked for large systems, jax otherwise, and falls back to
+the oracle if JAX is unusable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core import packing
+from ..core.affine import AffineSpace
+
+# Column count at or above which the panel-blocked solver wins over the
+# per-pivot loop (the per-pivot loop is latency-bound at ~cols sequential
+# steps; blocking amortizes them _KCOLS at a time).
+_BLOCKED_THRESHOLD = 1024
+
+
+def _auto_backend(cols: int) -> str:
+    env = os.environ.get("GF2BV_TPU_BACKEND")
+    if env:
+        return env
+    return "blocked" if cols >= _BLOCKED_THRESHOLD else "jax"
+
+
+def solve(eqs: np.ndarray, cols: int, mode: int, backend: str | None = None):
+    """eqs: packed (rows, W64) uint64 over 1+cols bits (bit 0 = const)."""
+    backend = backend or _auto_backend(cols)
+
+    if backend == "oracle":
+        from .gauss_ref import solve_oracle
+
+        res = solve_oracle(eqs, cols)
+        if not res.consistent:
+            return None
+        raw = (res.origin, res.basis)
+    elif backend == "blocked":
+        from .gauss_blocked import solve_blocked
+
+        raw = solve_blocked(eqs, cols, mode)
+        if raw is None:
+            return None
+    else:
+        from .gauss_jax import solve_jax
+
+        raw = solve_jax(eqs, cols, mode)
+        if raw is None:
+            return None
+
+    if mode == 0:
+        origin = raw[0] if isinstance(raw, tuple) else raw
+        return packing.words_to_int(origin)
+    origin, basis = raw
+    return AffineSpace(origin, basis, cols)

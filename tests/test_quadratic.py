@@ -1,0 +1,150 @@
+"""QuadraticSystem semantics, differentially tested against the reference's
+big-int formulas (``/root/reference/gf2bv/__init__.py:306-332`` reimplemented
+below as the oracle for mul_bit)."""
+
+import numpy as np
+import pytest
+
+from gf2bv_tpu import QuadraticSystem
+from gf2bv_tpu.core import packing
+
+
+def ref_mul_bit(n, a, b):
+    """The reference's _mul_bit_slow on big-int masks (__init__.py:306-332)."""
+    clm = (1 << (1 + n)) - 1
+    v = (a & clm) & b
+    abits = [(a >> (1 + i)) & 1 for i in range(n)]
+    bbits = [(b >> (1 + i)) & 1 for i in range(n)]
+    mi = 1 + n
+    for i in range(n):
+        for j in range(i):
+            if (abits[i] & bbits[j]) ^ (abits[j] & bbits[i]):
+                v |= 1 << mi
+            mi += 1
+    return v
+
+
+@pytest.mark.parametrize("n", [4, 9, 32])
+def test_mul_bit_vs_reference_formula(n):
+    rng = np.random.default_rng(n)
+    qsys = QuadraticSystem([n])
+    nbits = qsys._nbits
+    for _ in range(20):
+        a = int(rng.integers(0, 1 << (1 + n)))
+        b = int(rng.integers(0, 1 << (1 + n)))
+        arow = packing.int_to_words(a, nbits)
+        brow = packing.int_to_words(b, nbits)
+        got = packing.words_to_int(qsys._mul_bit_rows(arow, brow))
+        assert got == ref_mul_bit(n, a, b)
+
+
+def test_mul_bit_api():
+    qsys = QuadraticSystem([4])
+    (x,) = qsys.gens()
+    p = qsys.mul_bit(x[0], x[1])
+    # x1*x2 -> quad monomial (i=1, j=0) = first quad column 1+4
+    assert p._bits == (1 << 5,)
+    with pytest.raises(ValueError):
+        qsys.mul_bit(x, x)
+
+
+def test_mul_bits_vectorized_matches_scalar():
+    n = 8
+    rng = np.random.default_rng(5)
+    qsys = QuadraticSystem([n])
+    nbits = qsys._nbits
+    a_masks = [int(rng.integers(0, 1 << (1 + n))) for _ in range(6)]
+    b_masks = [int(rng.integers(0, 1 << (1 + n))) for _ in range(6)]
+    from gf2bv_tpu import BitVec
+
+    av = BitVec(packing.ints_to_rows(a_masks, nbits), nbits)
+    bv = BitVec(packing.ints_to_rows(b_masks, nbits), nbits)
+    got = qsys.mul_bits(av, bv)._bits
+    want = tuple(ref_mul_bit(n, a, b) for a, b in zip(a_masks, b_masks))
+    assert got == want
+
+
+def test_check_lin_match_quad():
+    n = 4
+    qsys = QuadraticSystem([n])
+    lin = 0b1011
+    bits = [(lin >> i) & 1 for i in range(n)]
+    quad = 0
+    mi = 0
+    for i in range(n):
+        for j in range(i):
+            quad |= (bits[i] & bits[j]) << mi
+            mi += 1
+    assert qsys._check_lin_match_quad(lin, quad)
+    assert not qsys._check_lin_match_quad(lin, quad ^ 1)
+
+
+def test_bit_assert_matches_reference_formula():
+    n = 5
+    qsys = QuadraticSystem([n])
+    (x,) = qsys.gens()
+    a_mask = (1 << 1) ^ (1 << 3)  # x0 ^ x2
+    for v in (0, 1):
+        got = [bv._bits[0] for bv in qsys.bit_assert(x[0] ^ x[2], v)]
+        want = [a_mask ^ v]
+        for i in range(1, 1 + n):
+            b = 1 << i
+            if a_mask == b:
+                continue
+            p = ref_mul_bit(n, a_mask, b)
+            want.append(p if v == 0 else p ^ b)
+        assert got == want
+
+
+def test_bit_assert_skips_equal_basis_bit():
+    n = 3
+    qsys = QuadraticSystem([n])
+    (x,) = qsys.gens()
+    got = qsys.bit_assert(x[1], 1)
+    # a == basis bit 2 -> that consistency eq is skipped (ref :358-359)
+    assert len(got) == 1 + (n - 1)
+
+
+@pytest.mark.parametrize("backend", ["oracle", "jax"])
+def test_quadratic_solve_small(backend):
+    # tiny nonlinear system: recover 6 secret bits from quadratic outputs
+    n = 6
+    rng = np.random.default_rng(9)
+    secret = int(rng.integers(1, 1 << n))
+    sbits = [(secret >> i) & 1 for i in range(n)]
+
+    qsys = QuadraticSystem([n], backend=backend)
+    (x,) = qsys.gens()
+    zeros = []
+    for i in range(n):
+        for j in range(i):
+            prod = qsys.mul_bit(x[i], x[j])
+            zeros.append(prod ^ (sbits[i] & sbits[j]))
+    zeros.append(x ^ secret)
+    (sol,) = qsys.solve_one(zeros)
+    assert sol == secret
+
+
+def test_quadratic_convert_sol_filters_spurious():
+    n = 3
+    qsys = QuadraticSystem([n])
+    # lin = 0b011 -> x1x0 = 1, x2x0 = 0, x2x1 = 0 -> quad = 0b001
+    assert qsys.convert_sol(0b001_011) == (0b011,)
+    assert qsys.convert_sol(0b000_011) is None
+
+
+def test_quadratic_gens_hides_quad_block():
+    qsys = QuadraticSystem([4, 4])
+    gens = qsys.gens()
+    assert len(gens) == 2
+    assert qsys._lin_size == 8
+    assert qsys._quad_size == 28
+
+
+def test_quadratic_pickle():
+    import pickle
+
+    qsys = QuadraticSystem([5])
+    q2 = pickle.loads(pickle.dumps(qsys))
+    assert q2._quad_sizes == [5]
+    assert q2._quad_size == 10
