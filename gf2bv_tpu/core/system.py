@@ -267,6 +267,33 @@ class QuadraticSystem(LinearSystem):
             return super()._convert_sol(lin)[:-1]
         return None
 
+    def solve_all(self, zeros: Zeros, *, max_dimension: int = 16):
+        """Like LinearSystem.solve_all, but the quadratic consistency filter
+        runs on device over whole enumeration chunks (ops/enumerate.py)
+        instead of per-point in Python."""
+        space = self.solve_raw_space(zeros)
+        if space is None:
+            return
+        if space.dimension > max_dimension:
+            raise DimensionTooLargeError(
+                f"Solution space (dim {space.dimension}) is too large, try "
+                f"increase max_dimension ({max_dimension}) if you want "
+                f"(there will be 2**dim solutions)",
+                space=space,
+            )
+        if space.dimension > 8:
+            from ..ops.enumerate import iter_quad_filtered
+
+            for s in iter_quad_filtered(space, self._lin_size):
+                ret = self.convert_sol(s)
+                if ret is not None:
+                    yield ret
+        else:
+            for s in space:
+                ret = self.convert_sol(s)
+                if ret is not None:
+                    yield ret
+
     def solve_one(self, zeros: Zeros):
         # A raw one-solution solve might not pass the consistency filter
         # (ref :395-398): route through solve_all.

@@ -1,16 +1,207 @@
-"""Panel-blocked Gauss-Jordan for large systems (v2 — placeholder).
+"""Panel-blocked Gauss-Jordan to RREF (v2) — the large-system fast path.
 
-Will implement the PLE-style panel scheme (phase 1: sequential pivots on a
-K-column slice; phase 2: one rank-K XOR update of the trailing matrix, the
-HBM-bandwidth-bound bulk).  Until then, delegates to the per-pivot v1.
+The per-pivot v1 (gauss_jax.py) reads and writes the whole matrix once per
+column: ~cols full-matrix passes, hopelessly HBM-bound at MT19937 size
+(19969 x ~100 MB).  This module restructures the elimination the way M4RI's
+PLE decomposition does (PAPERS.md: arXiv 1111.6549 / 1006.1744), but
+organized for the TPU memory hierarchy:
+
+Per K-column panel (K = 128 by default):
+  phase 1 (thin, sequential): forward-eliminate on the (rows, K/32)-word
+    slice only, tracking per-row elimination coefficients C; reconstruct
+    each *forward* pivot row at full width as
+    ``PF_fwd[j] = A[piv] ^ xor-combo(PF_fwd, C[piv])``; then back-eliminate
+    the K pivot rows against each other so PF becomes the panel's *final*
+    (intra-panel RREF) pivot rows.
+  phase 2 (bulk): one rank-K update of the whole matrix.  Identity: with
+    pivot columns c_j and final pivot rows PF,
+        row_i_final = row_i_orig ^ sum_j alpha_ij PF[j],
+        alpha_ij    = B_orig[i][c_j]  (+1 for i == pivot_row_j)
+    because the final pivot rows form the identity on pivot columns.  So the
+    update coefficients come straight from the *saved original* panel slice —
+    no transformation tracking through the bulk matrix.  The update is
+    applied G = 32 selector bits per fused pass, so the whole matrix is
+    streamed cols/G times total (vs cols times for v1).
+
+The result is bit-identical to v1's RREF (RREF is unique), so extraction is
+shared.  Replaces m4ri_solve's PLUQ+TRSM+kernel path
+(``/root/reference/gf2bv/_internal.c:309-502``) in one algorithm.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+from jax import lax
 
-def solve_blocked(eqs: np.ndarray, cols: int, mode: int):
-    from .gauss_jax import solve_jax
+from ..core import packing
 
-    return solve_jax(eqs, cols, mode)
+K_PANEL = 128  # panel width in bits
+_G = 32  # selector bits folded into one fused full-matrix pass
+_ROW_BUCKET = 256
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def rref_blocked(a: jnp.ndarray, cols: int, k_panel: int = K_PANEL):
+    """Blocked RREF.  a: (rows, Wp) uint32 with Wp % (k_panel//32) == 0.
+
+    Returns (rref, pivot_row_of_col, inconsistent) exactly like
+    gauss_jax.rref_device.
+    """
+    K = k_panel
+    kw = K // 32
+    rows, wp = a.shape
+    panels = wp // kw
+    row_ids = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
+    pf_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+    bit_ids = pf_ids  # (K,) 0..K-1
+    used0 = jnp.zeros((rows,), jnp.bool_)
+    # pof padded by one dump slot for invalid/dumped writes
+    pof0 = jnp.full((cols + 1,), -1, jnp.int32)
+
+    def xor_select(mat, selbits):
+        """XOR of mat rows (K, Wp) selected by packed selbits (kw,) u32."""
+        bits = (selbits[bit_ids >> 5] >> (bit_ids & 31).astype(jnp.uint32)) & 1
+        mask = (jnp.uint32(0) - bits).astype(jnp.uint32)  # 0 or all-ones
+        return jnp.bitwise_xor.reduce(mat & mask[:, None], axis=0)
+
+    def panel_body(t, carry):
+        a, used, pof = carry
+        w0 = t * kw
+        b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
+
+        # ---- phase 1: thin forward elimination on the slice ------------
+        def p1(jj, c):
+            b, cmat, pf, used, pof, prow = c
+            gbit = 32 * w0 + jj  # packed bit position of this panel column
+            valid = (gbit >= 1) & (gbit <= cols)
+            word = jj >> 5
+            shift = (jj & 31).astype(jnp.uint32)
+            colb = (
+                lax.dynamic_index_in_dim(b, word, axis=1, keepdims=False) >> shift
+            ) & 1
+            cand = (colb == 1) & ~used & valid
+            piv = jnp.argmax(cand).astype(jnp.int32)
+            has = cand[piv]
+
+            # reconstruct the forward pivot row at full width
+            arow = lax.dynamic_index_in_dim(a, piv, axis=0, keepdims=False)
+            crow = lax.dynamic_index_in_dim(cmat, piv, axis=0, keepdims=False)
+            full = arow ^ xor_select(pf, crow)
+            pf = pf.at[jj].set(jnp.where(has, full, jnp.zeros_like(full)))
+
+            # eliminate remaining candidates within the slice + record coeffs
+            bpiv = lax.dynamic_index_in_dim(b, piv, axis=0, keepdims=False)
+            elim = cand & (row_ids != piv)
+            b = jnp.where(elim[:, None], b ^ bpiv[None, :], b)
+            cw = lax.dynamic_index_in_dim(cmat, word, axis=1, keepdims=False)
+            cw = cw ^ (elim.astype(jnp.uint32) << shift)
+            cmat = lax.dynamic_update_slice(cmat, cw[:, None], (0, word))
+
+            used = used | ((row_ids == piv) & has)
+            prow = prow.at[jj].set(jnp.where(has, piv, jnp.int32(-1)))
+            dst = jnp.where(valid & has, gbit - 1, cols)  # dump slot at cols
+            pof = pof.at[dst].set(jnp.where(has, piv, jnp.int32(-1)))
+            return b, cmat, pf, used, pof, prow
+
+        b0 = b_orig
+        c0 = jnp.zeros((rows, kw), jnp.uint32)
+        pf0 = jnp.zeros((K, wp), jnp.uint32)
+        prow0 = jnp.full((K,), -1, jnp.int32)
+        _, _, pf, used, pof, prow = lax.fori_loop(
+            0, K, p1, (b0, c0, pf0, used, pof, prow0)
+        )
+
+        # ---- phase 1b: back-eliminate pivot rows -> intra-panel RREF ----
+        def p1b(s, pf):
+            jj = K - 1 - s
+            word = w0 + (jj >> 5)
+            shift = (jj & 31).astype(jnp.uint32)
+            pivoted = prow[jj] >= 0
+            colb = (
+                lax.dynamic_index_in_dim(pf, word, axis=1, keepdims=False) >> shift
+            ) & 1
+            elim = (colb == 1) & (pf_ids != jj) & pivoted
+            pfrow = lax.dynamic_index_in_dim(pf, jj, axis=0, keepdims=False)
+            return jnp.where(elim[:, None], pf ^ pfrow[None, :], pf)
+
+        pf = lax.fori_loop(0, K, p1b, pf)
+
+        # ---- selector matrix S from the SAVED original slice ------------
+        # pivot-column mask (kw,) u32
+        pivbit = (prow >= 0).astype(jnp.uint32) << (bit_ids & 31).astype(jnp.uint32)
+        pm = (
+            jnp.zeros((kw,), jnp.uint32)
+            .at[bit_ids >> 5]
+            .add(pivbit)  # disjoint bits: add == or
+        )
+        s = b_orig & pm[None, :]
+        # flip the diagonal so pivot rows map onto PF themselves; writes for
+        # free columns are dumped into an extra scratch row (index `rows`) so
+        # they can never clobber a genuine flip (duplicate scatter indices
+        # with different values are undefined).
+        s_ext = jnp.concatenate([s, jnp.zeros((1, kw), jnp.uint32)], axis=0)
+        prow_safe = jnp.where(prow >= 0, prow, rows)
+        wordidx = bit_ids >> 5
+        bitval = jnp.where(
+            prow >= 0, jnp.uint32(1) << (bit_ids & 31).astype(jnp.uint32), 0
+        )
+        gathered = s_ext[prow_safe, wordidx]
+        s = s_ext.at[prow_safe, wordidx].set(gathered ^ bitval)[:rows]
+
+        # ---- phase 2: rank-K update, G bits per fused pass --------------
+        for g in range(kw):
+            sw = s[:, g]  # (rows,) u32 selector word
+            delta = jnp.zeros_like(a)
+            for bpos in range(_G):
+                bit = (sw >> np.uint32(bpos)) & 1
+                mask = (jnp.uint32(0) - bit).astype(jnp.uint32)
+                delta = delta ^ (mask[:, None] & pf[g * _G + bpos][None, :])
+            a = a ^ delta
+        return a, used, pof
+
+    a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
+    pof = pof[:cols]
+
+    const_bit = (a[:, 0] & 1) == 1
+    var_any = (a[:, 0] >> 1) != 0
+    if wp > 1:
+        var_any = var_any | jnp.any(a[:, 1:] != 0, axis=1)
+    inconsistent = jnp.any(const_bit & ~var_any)
+    return a, pof, inconsistent
+
+
+def _pad(eqs: np.ndarray, cols: int, k_panel: int):
+    a32 = np.ascontiguousarray(packing.to_u32(eqs))
+    rows, w32 = a32.shape
+    kw = k_panel // 32
+    wp = -(-w32 // kw) * kw
+    want_rows = max(_ROW_BUCKET, -(-rows // _ROW_BUCKET) * _ROW_BUCKET)
+    out = np.zeros((want_rows, wp), dtype=np.uint32)
+    out[:rows, :w32] = a32
+    return out
+
+
+def solve_blocked(eqs: np.ndarray, cols: int, mode: int, k_panel: int = K_PANEL):
+    """Drop-in replacement for gauss_jax.solve_jax; same return contract."""
+    from . import extract
+
+    a32 = _pad(eqs, cols, k_panel)
+    rref32, pof, inconsistent = rref_blocked(jnp.asarray(a32), cols, k_panel)
+    if bool(inconsistent):
+        return None
+
+    pof = np.asarray(pof)
+    w64 = packing.nwords64(1 + cols)
+    rref = packing.from_u32(np.asarray(rref32)[:, : 2 * w64])
+    pivot_cols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1
+    pivot_rows = rref[pof[pivot_cols - 1]]
+
+    origin = extract.build_origin(pivot_rows, pivot_cols, cols)
+    if mode == 0:
+        return origin
+    return origin, extract.build_basis(pivot_rows, pivot_cols, cols)

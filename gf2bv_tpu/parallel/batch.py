@@ -1,0 +1,118 @@
+"""Batched multi-instance solving: vmap over a leading batch dim + mesh
+sharding on the ``batch`` axis.
+
+This is the high-efficiency scaling axis the reference cannot use at all
+(its per-guess NLFSR subsystems are solved one C call at a time,
+``/root/reference/examples/nlfsr_ex.py:78-86``): here N same-shape systems
+are one vmapped Gauss-Jordan, sharded across chips, with per-instance
+inconsistency flags — no cross-instance sync anywhere, so scaling is linear.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import packing
+from ..core.affine import AffineSpace
+from . import mesh as meshlib
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _rref_batched(a: jnp.ndarray, cols: int):
+    """vmapped full Gauss-Jordan; a: (B, rows, W32) uint32."""
+    from ..ops.gauss_jax import rref_device
+
+    return jax.vmap(lambda m: rref_device(m, cols))(a)
+
+
+def pack_batch(eq_mats: list[np.ndarray], cols: int) -> np.ndarray:
+    """Stack packed (rows_i, W64) systems into one (B, rows_max32) uint32
+    array, padding rows with zeros (harmless: zero rows never pivot)."""
+    from ..ops.gauss_jax import _ROW_BUCKET
+
+    rows_max = max((m.shape[0] for m in eq_mats), default=1)
+    rows_pad = max(_ROW_BUCKET, -(-rows_max // _ROW_BUCKET) * _ROW_BUCKET)
+    nw32 = 2 * packing.nwords64(1 + cols)
+    out = np.zeros((len(eq_mats), rows_pad, nw32), dtype=np.uint32)
+    for i, m in enumerate(eq_mats):
+        out[i, : m.shape[0]] = packing.to_u32(m)
+    return out
+
+
+def solve_batch(
+    eq_mats: list[np.ndarray],
+    cols: int,
+    mode: int,
+    mesh=None,
+):
+    """Solve many independent systems at once.
+
+    Returns a list with one entry per system: None (unsatisfiable), a packed
+    origin (mode 0), or an (origin, basis) pair (mode 1).
+    """
+    if not eq_mats:
+        return []
+    a = pack_batch(eq_mats, cols)
+    if mesh is not None:
+        # pad batch to a multiple of the mesh batch axis
+        nb = mesh.shape[meshlib.BATCH_AXIS]
+        pad = (-len(eq_mats)) % nb
+        if pad:
+            a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)], axis=0)
+        sharding = NamedSharding(mesh, P(meshlib.BATCH_AXIS, None, None))
+        a = jax.device_put(a, sharding)
+    rref32, pof, inconsistent = _rref_batched(jnp.asarray(a), cols)
+
+    rref32 = np.asarray(rref32)
+    pof = np.asarray(pof)
+    inconsistent = np.asarray(inconsistent)
+
+    from ..ops import extract
+
+    results = []
+    for i in range(len(eq_mats)):
+        if inconsistent[i]:
+            results.append(None)
+            continue
+        rref = packing.from_u32(rref32[i])
+        pcols = np.nonzero(pof[i] >= 0)[0].astype(np.int64) + 1
+        prows = rref[pof[i][pcols - 1]]
+        origin = extract.build_origin(prows, pcols, cols)
+        if mode == 0:
+            results.append(origin)
+        else:
+            results.append((origin, extract.build_basis(prows, pcols, cols)))
+    return results
+
+
+def solve_batch_systems(system, zeros_batch, mode: int = 0, mesh=None):
+    """Batched LinearSystem front-end: one entry per zeros list.
+
+    mode 0 -> list of raw solution ints (or None); mode 1 -> list of
+    AffineSpace (or None).  QuadraticSystem consistency filtering still
+    applies when converting via ``system.convert_sol``.
+    """
+    cols = system._cols
+    mats, unsat = [], []
+    for zeros in zeros_batch:
+        eqs = system.get_eqs_packed(zeros)
+        lit_one = (eqs[:, 0] == 1) & ~eqs[:, 1:].any(axis=1)
+        unsat.append(bool(lit_one.any()))
+        mats.append(eqs)
+    raw = solve_batch(mats, cols, mode, mesh=mesh)
+    out = []
+    for r, u in zip(raw, unsat):
+        if u or r is None:
+            out.append(None)
+        elif mode == 0:
+            out.append(packing.words_to_int(r))
+        else:
+            out.append(AffineSpace(r[0], r[1], cols))
+    return out

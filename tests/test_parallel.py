@@ -1,0 +1,92 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded solve must
+equal single-chip solve bit-for-bit (SURVEY.md §4's multi-chip strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gf2bv_tpu.core import packing
+from gf2bv_tpu.ops import solver
+from gf2bv_tpu.parallel import batch as pbatch
+from gf2bv_tpu.parallel import mesh as meshlib
+from gf2bv_tpu.parallel.rowshard import solve_rowsharded
+
+from test_solver import random_system, spaces_equal
+
+
+def test_device_count():
+    assert jax.device_count() == 8
+
+
+@pytest.fixture(scope="module")
+def mesh_rows():
+    return meshlib.make_mesh(batch=1, rows=8)
+
+
+@pytest.fixture(scope="module")
+def mesh_batch():
+    return meshlib.make_mesh(batch=8, rows=1)
+
+
+@pytest.fixture(scope="module")
+def mesh_2d():
+    return meshlib.make_mesh(batch=2, rows=4)
+
+
+@pytest.mark.parametrize("rows,cols,deficit", [(64, 48, 0), (48, 60, 5), (96, 33, 2)])
+def test_rowsharded_matches_single(mesh_rows, rows, cols, deficit):
+    rng = np.random.default_rng(rows + cols)
+    eqs, _ = random_system(rng, rows, cols, rank_deficit=deficit)
+
+    single = solver.solve(eqs, cols, 1, backend="jax")
+    sharded = solve_rowsharded(eqs, cols, 1, mesh_rows)
+    assert (sharded is None) == (single is None)
+    origin, basis = sharded
+    # canonical RREF -> must match the single-chip result bit-exactly
+    assert packing.words_to_int(origin) == single.origin
+    assert packing.rows_to_ints(basis) == list(single.basis)
+
+
+def test_rowsharded_inconsistent(mesh_rows):
+    rng = np.random.default_rng(3)
+    eqs, _ = random_system(rng, 40, 32, inconsistent=True)
+    assert solve_rowsharded(eqs, 32, 0, mesh_rows) is None
+
+
+@pytest.mark.parametrize("mesh_name", ["mesh_batch", "mesh_2d", None])
+def test_batched_matches_loop(request, mesh_name):
+    mesh = request.getfixturevalue(mesh_name) if mesh_name else None
+    rng = np.random.default_rng(17)
+    cols = 40
+    mats, singles = [], []
+    for i in range(5):  # deliberately not a multiple of the batch axis
+        eqs, _ = random_system(
+            rng, 48 + 8 * i, cols, rank_deficit=i % 3, inconsistent=(i == 3)
+        )
+        mats.append(eqs)
+        singles.append(solver.solve(eqs, cols, 1, backend="jax"))
+
+    got = pbatch.solve_batch(mats, cols, 1, mesh=mesh)
+    assert len(got) == 5
+    for g, s in zip(got, singles):
+        assert (g is None) == (s is None)
+        if g is None:
+            continue
+        origin, basis = g
+        assert packing.words_to_int(origin) == s.origin
+        assert packing.rows_to_ints(basis) == list(s.basis)
+
+
+def test_solve_batch_systems_frontend(mesh_batch):
+    from gf2bv_tpu import LinearSystem
+
+    lin = LinearSystem([16])
+    (x,) = lin.gens()
+    secrets = [0xBEE5 + i for i in range(9)]
+    zeros_batch = [[x ^ s] for s in secrets]
+    # add one unsatisfiable instance
+    zeros_batch.append([x[0] ^ 1, x[0]])
+    got = pbatch.solve_batch_systems(lin, zeros_batch, mode=0, mesh=mesh_batch)
+    assert got[:-1] == secrets
+    assert got[-1] is None
