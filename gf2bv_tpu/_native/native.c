@@ -1,0 +1,203 @@
+/* Native host GF(2) elimination engine.
+ *
+ * The CPU-side counterpart of the TPU solvers: bit-packed (uint64 words)
+ * Gauss-Jordan to reduced row echelon form using 8-column panels with a
+ * 256-entry XOR table per panel ("Method of Four Russians" style, the same
+ * algorithmic family as the reference's libm4ri backend) and OpenMP row
+ * parallelism for the bulk update.
+ *
+ * This is a from-scratch implementation of the same two-phase panel scheme
+ * as gf2bv_tpu/ops/gauss_blocked.py:
+ *   phase 1 (thin): forward-eliminate on the 8-bit column strip, tracking
+ *     per-row coefficient bytes; reconstruct the <=8 final pivot rows at
+ *     full width (forward combos, then back-elimination).
+ *   phase 2 (bulk): selector byte per row from the *original* strip
+ *     (diagonal-flipped for pivot rows), one table lookup + W-word XOR
+ *     per row per panel.
+ *
+ * Matrix layout matches the Python side: row-major uint64 words, packed
+ * bit j (0 = affine constant / RHS, 1..cols = variables) at word j>>6,
+ * bit j&63.  The caller passes w_alloc >= nwords(1+cols) + 1 with the pad
+ * word(s) zeroed so cross-word strip extraction never reads out of bounds.
+ *
+ * Exposed via ctypes (no CPython API): see _native/__init__.py.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+#define PANEL 8
+
+static inline uint8_t strip8(const uint64_t *row, int64_t c0) {
+    /* bits c0..c0+7 of a packed row (pad word guarantees in-bounds). */
+    int64_t wi = c0 >> 6;
+    int sh = (int)(c0 & 63);
+    uint64_t v = row[wi] >> sh;
+    if (sh > 56) v |= row[wi + 1] << (64 - sh);
+    return (uint8_t)(v & 0xff);
+}
+
+/* Full RREF in place.  Returns the rank.
+ *   a      : rows x w_alloc uint64 (>= 1 zeroed pad word at each row end)
+ *   pof    : cols int32, set to pivot row index per variable column or -1
+ *   used   : rows uint8 scratch, zero-initialized by this function
+ */
+int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
+                 int32_t *pof, uint8_t *used) {
+    int64_t rank = 0;
+    memset(used, 0, (size_t)rows);
+    for (int64_t c = 0; c < cols; c++) pof[c] = -1;
+
+    uint8_t *strip = (uint8_t *)malloc((size_t)rows);
+    uint8_t *coef = (uint8_t *)malloc((size_t)rows);
+    uint8_t *sel = (uint8_t *)malloc((size_t)rows);
+    uint64_t *pf = (uint64_t *)malloc(PANEL * (size_t)w_alloc * 8);
+    uint64_t *tbl = (uint64_t *)malloc(256 * (size_t)w_alloc * 8);
+
+    for (int64_t c0 = 1; c0 <= cols; c0 += PANEL) {
+        int np = (int)((cols + 1 - c0) < PANEL ? (cols + 1 - c0) : PANEL);
+
+        /* strip + coefficient bytes */
+#pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < rows; i++) {
+            strip[i] = strip8(&a[i * w_alloc], c0);
+            coef[i] = 0;
+        }
+        memset(pf, 0, PANEL * (size_t)w_alloc * 8);
+
+        int32_t prow[PANEL];
+        uint8_t borig_piv[PANEL];
+        uint8_t pivmask = 0;
+        /* phase 1: forward elimination on the strip */
+        for (int jj = 0; jj < np; jj++) {
+            prow[jj] = -1;
+            int64_t piv = -1;
+            for (int64_t i = 0; i < rows; i++) {
+                if (!used[i] && ((strip[i] >> jj) & 1)) { piv = i; break; }
+            }
+            if (piv < 0) continue;
+            prow[jj] = (int32_t)piv;
+            pivmask |= (uint8_t)(1u << jj);
+            pof[c0 - 1 + jj] = (int32_t)piv;
+            used[piv] = 1;
+            rank++;
+            /* final-so-far pivot row = original row ^ combo(PF_fwd, coef) */
+            uint64_t *dst = &pf[(size_t)jj * w_alloc];
+            memcpy(dst, &a[(size_t)piv * w_alloc], (size_t)w_alloc * 8);
+            uint8_t cb = coef[piv];
+            for (int j2 = 0; j2 < jj; j2++) {
+                if ((cb >> j2) & 1) {
+                    const uint64_t *src = &pf[(size_t)j2 * w_alloc];
+                    for (int64_t w = 0; w < w_alloc; w++) dst[w] ^= src[w];
+                }
+            }
+            borig_piv[jj] = strip8(&a[(size_t)piv * w_alloc], c0); /* orig strip */
+            /* eliminate remaining candidates within the strip */
+            uint8_t bpiv = strip[piv];
+#pragma omp parallel for schedule(static)
+            for (int64_t i = 0; i < rows; i++) {
+                if (!used[i] && ((strip[i] >> jj) & 1)) {
+                    strip[i] ^= bpiv;
+                    coef[i] ^= (uint8_t)(1u << jj);
+                }
+            }
+        }
+
+        /* phase 1b: back-eliminate the pivot rows among themselves */
+        for (int jj = np - 1; jj >= 0; jj--) {
+            if (prow[jj] < 0) continue;
+            const uint64_t *src = &pf[(size_t)jj * w_alloc];
+            for (int j2 = 0; j2 < np; j2++) {
+                if (j2 == jj || prow[j2] < 0) continue;
+                uint64_t *dst = &pf[(size_t)j2 * w_alloc];
+                if ((dst[(c0 + jj) >> 6] >> ((c0 + jj) & 63)) & 1) {
+                    for (int64_t w = 0; w < w_alloc; w++) dst[w] ^= src[w];
+                }
+            }
+        }
+
+        if (!pivmask) continue;
+
+        /* selector bytes from the ORIGINAL strip, diagonal-flipped */
+#pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < rows; i++) {
+            sel[i] = (uint8_t)(strip8(&a[(size_t)i * w_alloc], c0) & pivmask);
+        }
+        for (int jj = 0; jj < np; jj++) {
+            if (prow[jj] >= 0) {
+                sel[prow[jj]] = (uint8_t)((borig_piv[jj] & pivmask) ^ (1u << jj));
+            }
+        }
+
+        /* 256-entry XOR table of PF-row combinations */
+        memset(tbl, 0, (size_t)w_alloc * 8);
+        for (int m = 1; m < 256; m++) {
+            int bit = __builtin_ctz(m);
+            const uint64_t *base = &tbl[(size_t)(m & (m - 1)) * w_alloc];
+            const uint64_t *add = &pf[(size_t)bit * w_alloc];
+            uint64_t *dst = &tbl[(size_t)m * w_alloc];
+            for (int64_t w = 0; w < w_alloc; w++) dst[w] = base[w] ^ add[w];
+        }
+
+        /* phase 2: one table-XOR per row */
+#pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < rows; i++) {
+            uint8_t s = sel[i];
+            if (!s) continue;
+            const uint64_t *src = &tbl[(size_t)s * w_alloc];
+            uint64_t *dst = &a[(size_t)i * w_alloc];
+            for (int64_t w = 0; w < w_alloc; w++) dst[w] ^= src[w];
+        }
+    }
+
+    free(strip);
+    free(coef);
+    free(sel);
+    free(pf);
+    free(tbl);
+    return rank;
+}
+
+/* Any row reduced to 0*x = 1?  (variable bits empty, constant bit set) */
+int gf2_inconsistent(const uint64_t *a, int64_t rows, int64_t w_alloc,
+                     int64_t cols) {
+    int64_t nw = (1 + cols + 63) >> 6;
+    int bad = 0;
+#pragma omp parallel for schedule(static) reduction(|| : bad)
+    for (int64_t i = 0; i < rows; i++) {
+        const uint64_t *row = &a[(size_t)i * w_alloc];
+        if (!(row[0] & 1)) continue;
+        uint64_t any = row[0] >> 1;
+        for (int64_t w = 1; w < nw; w++) any |= row[w];
+        if (!any) bad = 1;
+    }
+    return bad;
+}
+
+/* Batched affine-space enumeration: fill out[k] = origin ^ combo(basis,
+ * bits(order(start+k))) for k < count, gray order optional. */
+void gf2_enumerate(const uint64_t *origin, const uint64_t *basis,
+                   int64_t dim, int64_t w, uint64_t start, int64_t count,
+                   int use_gray, uint64_t *out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t k = 0; k < count; k++) {
+        uint64_t idx = start + (uint64_t)k;
+        if (use_gray) idx ^= idx >> 1;
+        uint64_t *dst = &out[(size_t)k * w];
+        memcpy(dst, origin, (size_t)w * 8);
+        uint64_t m = idx;
+        while (m) {
+            int b = __builtin_ctzll(m);
+            m &= m - 1;
+            if (b < dim) {
+                const uint64_t *src = &basis[(size_t)b * w];
+                for (int64_t ww = 0; ww < w; ww++) dst[ww] ^= src[ww];
+            } else break;
+        }
+    }
+}

@@ -45,9 +45,18 @@ _G = 32  # selector bits folded into one fused full-matrix pass
 _ROW_BUCKET = 256
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def rref_blocked(a: jnp.ndarray, cols: int, k_panel: int = K_PANEL):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def rref_blocked(
+    a: jnp.ndarray,
+    cols: int,
+    k_panel: int = K_PANEL,
+    phase2: str = "jnp",
+):
     """Blocked RREF.  a: (rows, Wp) uint32 with Wp % (k_panel//32) == 0.
+
+    phase2 selects the bulk-update engine: "jnp" (fused xor-reduce, one
+    matrix pass per selector word), "pallas" (VMEM-tiled kernel, one matrix
+    pass per panel), or "pallas_interpret" (for CPU tests).
 
     Returns (rref, pivot_row_of_col, inconsistent) exactly like
     gauss_jax.rref_device.
@@ -153,15 +162,24 @@ def rref_blocked(a: jnp.ndarray, cols: int, k_panel: int = K_PANEL):
         gathered = s_ext[prow_safe, wordidx]
         s = s_ext.at[prow_safe, wordidx].set(gathered ^ bitval)[:rows]
 
-        # ---- phase 2: rank-K update, G bits per fused pass --------------
-        for g in range(kw):
-            sw = s[:, g]  # (rows,) u32 selector word
-            delta = jnp.zeros_like(a)
-            for bpos in range(_G):
-                bit = (sw >> np.uint32(bpos)) & 1
-                mask = (jnp.uint32(0) - bit).astype(jnp.uint32)
-                delta = delta ^ (mask[:, None] & pf[g * _G + bpos][None, :])
-            a = a ^ delta
+        # ---- phase 2: rank-K update --------------------------------------
+        if phase2.startswith("pallas"):
+            from .pallas_update import panel_update
+
+            a = panel_update(a, s, pf, interpret=(phase2 == "pallas_interpret"))
+        else:
+            # One xor-reduce op per selector word keeps the XLA graph small
+            # (an unrolled 32-term chain compiled for many minutes on TPU);
+            # the broadcasted AND fuses into the reduction emitter.
+            bshift = jnp.arange(_G, dtype=jnp.uint32)
+            for g in range(kw):
+                sw = s[:, g]  # (rows,) u32 selector word
+                bits = (sw[:, None] >> bshift[None, :]) & 1  # (rows, G)
+                mask = (jnp.uint32(0) - bits).astype(jnp.uint32)
+                delta = jnp.bitwise_xor.reduce(
+                    mask[:, :, None] & pf[None, g * _G : (g + 1) * _G, :], axis=1
+                )
+                a = a ^ delta
         return a, used, pof
 
     a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
@@ -175,23 +193,38 @@ def rref_blocked(a: jnp.ndarray, cols: int, k_panel: int = K_PANEL):
     return a, pof, inconsistent
 
 
-def _pad(eqs: np.ndarray, cols: int, k_panel: int):
+def _pad(eqs: np.ndarray, cols: int, k_panel: int, word_align: int = 1):
     a32 = np.ascontiguousarray(packing.to_u32(eqs))
     rows, w32 = a32.shape
-    kw = k_panel // 32
-    wp = -(-w32 // kw) * kw
+    align = max(k_panel // 32, word_align)
+    wp = -(-w32 // align) * align
     want_rows = max(_ROW_BUCKET, -(-rows // _ROW_BUCKET) * _ROW_BUCKET)
     out = np.zeros((want_rows, wp), dtype=np.uint32)
     out[:rows, :w32] = a32
     return out
 
 
-def solve_blocked(eqs: np.ndarray, cols: int, mode: int, k_panel: int = K_PANEL):
+def _pick_phase2(wp: int) -> str:
+    """Pallas tiles need >= 128 lanes; small systems use the jnp path."""
+    if wp >= 128 and jax.default_backend() == "tpu":
+        return "pallas"
+    return "jnp"
+
+
+def solve_blocked(
+    eqs: np.ndarray,
+    cols: int,
+    mode: int,
+    k_panel: int = K_PANEL,
+    phase2: str | None = None,
+):
     """Drop-in replacement for gauss_jax.solve_jax; same return contract."""
     from . import extract
 
-    a32 = _pad(eqs, cols, k_panel)
-    rref32, pof, inconsistent = rref_blocked(jnp.asarray(a32), cols, k_panel)
+    a32 = _pad(eqs, cols, k_panel, word_align=128)
+    if phase2 is None:
+        phase2 = _pick_phase2(a32.shape[1])
+    rref32, pof, inconsistent = rref_blocked(jnp.asarray(a32), cols, k_panel, phase2)
     if bool(inconsistent):
         return None
 

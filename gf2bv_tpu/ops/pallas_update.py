@@ -1,0 +1,80 @@
+"""Pallas TPU kernel for the blocked solver's rank-K panel update.
+
+Computes ``a[i] ^= XOR_{jj: sel[i] bit jj} pf[jj]`` — the phase-2 bulk of
+gauss_blocked.py — with the A tile, selector tile and the whole PF panel
+resident in VMEM, so the matrix is streamed from HBM exactly once per panel
+(read + write).  The jnp fallback streams it kw times (one xor-reduce per
+selector word); on CPU/interpret the fallback is used instead.
+
+Layout: a (rows, Wp) uint32, sel (rows, K/32) uint32, pf (K, Wp) uint32.
+Grid: (rows/TR, Wp/TW); every kernel instance owns a (TR, TW) output tile.
+The inner loop over the K selector bits is a static unroll of VPU
+mask-and-XOR ops on VMEM-resident tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TR = 256  # row tile
+TW = 512  # word tile (lanes; multiple of 128)
+
+
+def _panel_update_kernel(sel_ref, pf_ref, a_ref, out_ref):
+    acc = a_ref[:]
+    sel = sel_ref[:]
+    kw = sel.shape[1]
+    for w in range(kw):
+        sw = sel[:, w]
+        for b in range(32):
+            bit = (sw >> jnp.uint32(b)) & jnp.uint32(1)
+            mask = (jnp.uint32(0) - bit).astype(jnp.uint32)
+            acc = acc ^ (mask[:, None] & pf_ref[w * 32 + b, :][None, :])
+    out_ref[:] = acc
+
+
+def pick_tw(wp: int) -> int:
+    """Largest word-tile (multiple of 128) dividing wp."""
+    for tw in (640, 512, 384, 256, 128):
+        if wp % tw == 0:
+            return tw
+    return wp  # wp < 128: single tile
+
+
+def panel_update(a, sel, pf, *, interpret: bool = False):
+    """a: (rows, Wp) u32; sel: (rows, kw) u32; pf: (K, Wp) u32.
+    rows % TR == 0 and Wp % 128 == 0 (or Wp < 128) are the caller's
+    responsibility.  Traceable (used inside the blocked solver's jit)."""
+    rows, wp = a.shape
+    k = pf.shape[0]
+    kw = sel.shape[1]
+    assert k == 32 * kw
+    tw = pick_tw(wp)
+    tr = min(TR, rows)
+    grid = (rows // tr, wp // tw)
+    return pl.pallas_call(
+        _panel_update_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tr, kw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tw), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * wp * k,
+            bytes_accessed=2 * rows * wp * 4 + rows * kw * 4 + k * wp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sel, pf, a)

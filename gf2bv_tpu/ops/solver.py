@@ -48,6 +48,12 @@ def solve(eqs: np.ndarray, cols: int, mode: int, backend: str | None = None):
         if not res.consistent:
             return None
         raw = (res.origin, res.basis)
+    elif backend == "native":
+        from .._native import solve_native
+
+        raw = solve_native(eqs, cols, mode)
+        if raw is None:
+            return None
     elif backend == "blocked":
         from .gauss_blocked import solve_blocked
 

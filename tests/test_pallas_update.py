@@ -1,0 +1,55 @@
+"""Pallas panel-update kernel vs the jnp reference formulation (interpret
+mode on CPU; the compiled path runs in bench.py on real TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gf2bv_tpu.ops.pallas_update import panel_update
+
+
+def ref_update(a, sel, pf):
+    rows, wp = a.shape
+    k = pf.shape[0]
+    out = a.copy()
+    for i in range(rows):
+        s = 0
+        for w in range(sel.shape[1]):
+            s |= int(sel[i, w]) << (32 * w)
+        for jj in range(k):
+            if (s >> jj) & 1:
+                out[i] ^= pf[jj]
+    return out
+
+
+@pytest.mark.parametrize("rows,wp,k", [(256, 128, 128), (512, 256, 64)])
+def test_panel_update_interpret(rows, wp, k):
+    rng = np.random.default_rng(rows + wp + k)
+    a = rng.integers(0, 2**32, size=(rows, wp), dtype=np.uint32)
+    sel = rng.integers(0, 2**32, size=(rows, k // 32), dtype=np.uint32)
+    pf = rng.integers(0, 2**32, size=(k, wp), dtype=np.uint32)
+    got = np.asarray(
+        panel_update(jnp.asarray(a), jnp.asarray(sel), jnp.asarray(pf), interpret=True)
+    )
+    want = ref_update(a, sel, pf)
+    assert np.array_equal(got, want)
+
+
+def test_blocked_solver_with_pallas_phase2():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_solver import random_system
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+
+    rng = np.random.default_rng(3)
+    eqs, _ = random_system(rng, 80, 70, rank_deficit=4)
+    ref = solve_oracle(eqs, 70)
+    got = solve_blocked(eqs, 70, 1, phase2="pallas_interpret")
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert packing.rows_to_ints(basis) == packing.rows_to_ints(ref.basis)
