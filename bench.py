@@ -14,9 +14,15 @@ Prints exactly ONE JSON line on stdout; phase detail goes to stderr.
 from __future__ import annotations
 
 import json
+import os
 import random
 import sys
 import time
+
+# Persistent XLA compilation cache: cold compiles of the big solver graphs
+# take minutes through the remote-compile tunnel; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 # Documented estimate (BASELINE.md: "seconds-scale single-core solve").
 M4RI_BASELINE_EST_S = 2.0

@@ -1,0 +1,112 @@
+"""Scaling benchmarks beyond the driver's single headline metric.
+
+Measures (a) batched solves/s on the available devices (the data-parallel
+axis: N independent same-shape systems per device step) and (b) row-sharded
+solve time vs single-device on the same system.  On this machine only one
+real TPU chip exists, so multi-device numbers come from the virtual CPU mesh
+(scaling-shape validation, not absolute perf) unless more chips are present.
+
+Prints one JSON line per measurement on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_batched(n_sys=64, rows=512, cols=256, reps=5):
+    import numpy as np
+
+    import jax
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.parallel import batch as pbatch
+    from gf2bv_tpu.parallel import mesh as meshlib
+
+    rng = np.random.default_rng(0)
+    mats = []
+    for _ in range(n_sys):
+        secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+        coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+        rhs = (coeff @ secret) % 2
+        bits = np.concatenate([rhs[:, None], coeff], axis=1)
+        mats.append(packing.pack_bits(bits, 1 + cols))
+
+    mesh = meshlib.make_mesh()  # all devices on the batch axis
+    # warm-up
+    res = pbatch.solve_batch(mats, cols, 0, mesh=mesh)
+    assert all(r is not None for r in res)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        pbatch.solve_batch(mats, cols, 0, mesh=mesh)
+    dt = (time.perf_counter() - t0) / reps
+    rate = n_sys / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"batched_solves_per_s_{cols}cols_{jax.device_count()}dev",
+                "value": round(rate, 1),
+                "unit": "solves/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+    return rate
+
+
+def bench_rowsharded(rows=4096, cols=2048):
+    import numpy as np
+
+    import jax
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops import solver
+    from gf2bv_tpu.parallel import mesh as meshlib
+    from gf2bv_tpu.parallel.rowshard import solve_rowsharded
+
+    rng = np.random.default_rng(1)
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    n = jax.device_count()
+    mesh = meshlib.make_mesh(batch=1, rows=n)
+    got = solve_rowsharded(eqs, cols, 0, mesh)  # warm-up + correctness
+    want = solver.solve(eqs, cols, 0, backend="jax")
+    assert packing.words_to_int(got) == want
+
+    t0 = time.perf_counter()
+    solve_rowsharded(eqs, cols, 0, mesh)
+    sharded_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    solver.solve(eqs, cols, 0, backend="jax")
+    single_s = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"rowsharded_{cols}cols_{n}dev_vs_single",
+                "value": round(sharded_s, 4),
+                "unit": "s",
+                "vs_baseline": round(single_s / sharded_s, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    bench_batched()
+    bench_rowsharded()

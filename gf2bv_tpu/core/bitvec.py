@@ -17,9 +17,29 @@ footgun, ``_internal.c:667-675``, is deliberately not reproduced).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from . import packing
+
+
+@functools.lru_cache(maxsize=8192)
+def _mask_bits_cached(width: int, mask: int) -> np.ndarray:
+    """Unpacked bits of an int mask; models reuse the same constants
+    thousands of times per trace (e.g. MT19937's tempering masks), so this
+    memo removes the dominant per-op to_bytes/unpackbits cost."""
+    bits = packing.mask_bits(width, mask)
+    bits.setflags(write=False)
+    return bits
+
+
+@functools.lru_cache(maxsize=8192)
+def _const_rows_cached(value: int, width: int, nw: int) -> np.ndarray:
+    out = np.zeros((width, nw), dtype=np.uint64)
+    out[:, 0] = _mask_bits_cached(width, value).astype(np.uint64)
+    out.setflags(write=False)
+    return out
 
 
 class BitVec:
@@ -61,10 +81,7 @@ class BitVec:
 
     def _const_rows(self, value: int, width: int) -> np.ndarray:
         """Rows for a constant: bit i of ``value`` -> affine bit set."""
-        nw = self.rows.shape[1]
-        out = np.zeros((width, nw), dtype=np.uint64)
-        out[:, 0] = packing.mask_bits(width, value).astype(np.uint64)
-        return out
+        return _const_rows_cached(value, width, self.rows.shape[1])
 
     def _is_const_bit(self, i: int):
         """Return 0, 1 or None if row i is not a constant."""

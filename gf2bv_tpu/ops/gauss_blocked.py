@@ -163,7 +163,9 @@ def rref_blocked(
         s = s_ext.at[prow_safe, wordidx].set(gathered ^ bitval)[:rows]
 
         # ---- phase 2: rank-K update --------------------------------------
-        if phase2.startswith("pallas"):
+        if phase2 == "skip":  # diagnostics only: times phase 1 alone
+            pass
+        elif phase2.startswith("pallas"):
             from .pallas_update import panel_update
 
             a = panel_update(a, s, pf, interpret=(phase2 == "pallas_interpret"))
