@@ -221,22 +221,10 @@ def solve_blocked(
     phase2: str | None = None,
 ):
     """Drop-in replacement for gauss_jax.solve_jax; same return contract."""
-    from . import extract
+    from . import extract_device
 
     a32 = _pad(eqs, cols, k_panel, word_align=128)
     if phase2 is None:
         phase2 = _pick_phase2(a32.shape[1])
     rref32, pof, inconsistent = rref_blocked(jnp.asarray(a32), cols, k_panel, phase2)
-    if bool(inconsistent):
-        return None
-
-    pof = np.asarray(pof)
-    w64 = packing.nwords64(1 + cols)
-    rref = packing.from_u32(np.asarray(rref32)[:, : 2 * w64])
-    pivot_cols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1
-    pivot_rows = rref[pof[pivot_cols - 1]]
-
-    origin = extract.build_origin(pivot_rows, pivot_cols, cols)
-    if mode == 0:
-        return origin
-    return origin, extract.build_basis(pivot_rows, pivot_cols, cols)
+    return extract_device.finalize(rref32, pof, inconsistent, cols, mode)

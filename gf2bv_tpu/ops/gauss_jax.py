@@ -89,20 +89,8 @@ def solve_jax(eqs: np.ndarray, cols: int, mode: int):
     mode 1 -> (origin, basis) packed, or None.  Mirrors m4ri_solve's two
     modes (``_internal.h:25-26``).
     """
-    from . import extract
+    from . import extract_device
 
     a32 = _pad_rows(np.ascontiguousarray(packing.to_u32(eqs)), cols)
     rref32, pof, inconsistent = rref_device(jnp.asarray(a32), cols)
-    if bool(inconsistent):
-        return None
-
-    pof = np.asarray(pof)
-    rref = packing.from_u32(np.asarray(rref32))
-    pivot_cols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1  # 1-based
-    pivot_rows = rref[pof[pivot_cols - 1]]
-
-    origin = extract.build_origin(pivot_rows, pivot_cols, cols)
-    if mode == 0:
-        return origin
-    basis = extract.build_basis(pivot_rows, pivot_cols, cols)
-    return origin, basis
+    return extract_device.finalize(rref32, pof, inconsistent, cols, mode)

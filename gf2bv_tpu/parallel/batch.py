@@ -70,26 +70,11 @@ def solve_batch(
         a = jax.device_put(a, sharding)
     rref32, pof, inconsistent = _rref_batched(jnp.asarray(a), cols)
 
-    rref32 = np.asarray(rref32)
-    pof = np.asarray(pof)
-    inconsistent = np.asarray(inconsistent)
+    from ..ops import extract_device
 
-    from ..ops import extract
-
-    results = []
-    for i in range(len(eq_mats)):
-        if inconsistent[i]:
-            results.append(None)
-            continue
-        rref = packing.from_u32(rref32[i])
-        pcols = np.nonzero(pof[i] >= 0)[0].astype(np.int64) + 1
-        prows = rref[pof[i][pcols - 1]]
-        origin = extract.build_origin(prows, pcols, cols)
-        if mode == 0:
-            results.append(origin)
-        else:
-            results.append((origin, extract.build_basis(prows, pcols, cols)))
-    return results
+    return extract_device.finalize_batch(rref32, pof, inconsistent, cols, mode)[
+        : len(eq_mats)
+    ]
 
 
 def solve_batch_systems(system, zeros_batch, mode: int = 0, mesh=None):

@@ -98,7 +98,7 @@ def rref_rowsharded(a32: np.ndarray, cols: int, mesh):
 
 def solve_rowsharded(eqs: np.ndarray, cols: int, mode: int, mesh):
     """Drop-in replacement for gauss_jax.solve_jax across a mesh."""
-    from ..ops import extract
+    from ..ops import extract_device
 
     naxis = mesh.shape[meshlib.ROWS_AXIS]
     a32 = np.ascontiguousarray(packing.to_u32(eqs))
@@ -109,20 +109,5 @@ def solve_rowsharded(eqs: np.ndarray, cols: int, mode: int, mesh):
             [a32, np.zeros((want - rows, a32.shape[1]), np.uint32)], axis=0
         )
     rref32, pof = rref_rowsharded(a32, cols, mesh)
-    rref = packing.from_u32(np.asarray(rref32))
-    pof = np.asarray(pof)
-
-    # Inconsistency: some row is 0*x = 1 after reduction.
-    bits0 = (rref[:, 0] & np.uint64(1)) == 1
-    var_any = (rref[:, 0] >> np.uint64(1)) != 0
-    if rref.shape[1] > 1:
-        var_any |= rref[:, 1:].any(axis=1)
-    if bool((bits0 & ~var_any).any()):
-        return None
-
-    pcols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1
-    prows = rref[pof[pcols - 1]]
-    origin = extract.build_origin(prows, pcols, cols)
-    if mode == 0:
-        return origin
-    return origin, extract.build_basis(prows, pcols, cols)
+    inconsistent = extract_device.inconsistent_device(rref32)
+    return extract_device.finalize(rref32, pof, inconsistent, cols, mode)
