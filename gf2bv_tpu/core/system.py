@@ -144,6 +144,37 @@ class LinearSystem:
             s |= v
         return bv.evaluate(s)
 
+    # -- batched solving (new TPU capability; no reference analog) ------------
+
+    def solve_one_batch(self, zeros_batch, mesh=None):
+        """Solve many independent zero-lists in one vmapped device call.
+        Returns one entry per list: a solution tuple or None."""
+        from ..parallel.batch import solve_batch_systems
+
+        raws = solve_batch_systems(self, zeros_batch, mode=0, mesh=mesh)
+        return [None if r is None else self.convert_sol(r) for r in raws]
+
+    def solve_all_batch(self, zeros_batch, *, max_dimension: int = 16, mesh=None):
+        """Batched solve_all: one generator per zeros list (or None when
+        unsatisfiable).  Raises DimensionTooLargeError lazily per instance."""
+        from ..parallel.batch import solve_batch_systems
+
+        spaces = solve_batch_systems(self, zeros_batch, mode=1, mesh=mesh)
+
+        def gen(space):
+            if space.dimension > max_dimension:
+                raise DimensionTooLargeError(
+                    f"Solution space (dim {space.dimension}) is too large, "
+                    f"try increase max_dimension ({max_dimension})",
+                    space=space,
+                )
+            for s in space:
+                ret = self.convert_sol(s)
+                if ret is not None:
+                    yield ret
+
+        return [None if sp is None else gen(sp) for sp in spaces]
+
     # -- interop (replaces the reference's Sage-PNG export, ref :194-212) -----
 
     def get_mat_numpy(self, zeros: Zeros) -> tuple[np.ndarray, np.ndarray]:

@@ -90,3 +90,25 @@ def test_solve_batch_systems_frontend(mesh_batch):
     got = pbatch.solve_batch_systems(lin, zeros_batch, mode=0, mesh=mesh_batch)
     assert got[:-1] == secrets
     assert got[-1] is None
+
+
+def test_system_solve_one_batch(mesh_batch):
+    from gf2bv_tpu import LinearSystem
+
+    lin = LinearSystem([12])
+    (x,) = lin.gens()
+    batch = [[x ^ v] for v in (1, 2, 3)] + [[x[0] ^ 1, x[0]]]
+    got = lin.solve_one_batch(batch, mesh=mesh_batch)
+    assert got == [(1,), (2,), (3,), None]
+
+
+def test_system_solve_all_batch():
+    from gf2bv_tpu import LinearSystem
+
+    lin = LinearSystem([6])
+    (x,) = lin.gens()
+    batch = [[(x & 0b11) ^ 0b10], [x ^ 5], [x[0] ^ 1, x[0]]]
+    gens = lin.solve_all_batch(batch)
+    assert sorted(s for (s,) in gens[0]) == [2, 6, 10, 14, 18, 22, 26, 30, 34, 38, 42, 46, 50, 54, 58, 62]
+    assert list(gens[1]) == [(5,)]
+    assert gens[2] is None
