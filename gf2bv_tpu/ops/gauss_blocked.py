@@ -45,12 +45,13 @@ _G = 32  # selector bits folded into one fused full-matrix pass
 _ROW_BUCKET = 256
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def rref_blocked(
     a: jnp.ndarray,
     cols: int,
     k_panel: int = K_PANEL,
     phase2: str = "jnp",
+    phase1: str = "jnp",
 ):
     """Blocked RREF.  a: (rows, Wp) uint32 with Wp % (k_panel//32) == 0.
 
@@ -82,6 +83,25 @@ def rref_blocked(
         a, used, pof = carry
         w0 = t * kw
         b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
+
+        if phase1.startswith("pallas"):
+            # whole phase 1 in one kernel invocation (pallas_phase1.py)
+            from .pallas_phase1 import phase1_panel
+
+            pf, prow, used_o = phase1_panel(
+                a,
+                b_orig.T,
+                used.astype(jnp.int32)[None, :],
+                w0,
+                K,
+                cols,
+                interpret=(phase1 == "pallas_interpret"),
+            )
+            used = used_o[0] > 0
+            gbit = 32 * w0 + bit_ids
+            dst = jnp.where(prow >= 0, gbit - 1, cols)  # dump slot at cols
+            pof = pof.at[dst].set(prow)
+            return _panel_tail(a, b_orig, pf, prow, pof, used)
 
         # ---- phase 1: thin forward elimination on the slice ------------
         def p1(jj, c):
@@ -139,7 +159,9 @@ def rref_blocked(
             return jnp.where(elim[:, None], pf ^ pfrow[None, :], pf)
 
         pf = lax.fori_loop(0, K, p1b, pf)
+        return _panel_tail(a, b_orig, pf, prow, pof, used)
 
+    def _panel_tail(a, b_orig, pf, prow, pof, used=None):
         # ---- selector matrix S from the SAVED original slice ------------
         # pivot-column mask (kw,) u32
         pivbit = (prow >= 0).astype(jnp.uint32) << (bit_ids & 31).astype(jnp.uint32)
@@ -165,6 +187,10 @@ def rref_blocked(
         # ---- phase 2: rank-K update --------------------------------------
         if phase2 == "skip":  # diagnostics only: times phase 1 alone
             pass
+        elif phase2.startswith("mxu"):
+            from .pallas_update import panel_update_mxu
+
+            a = panel_update_mxu(a, s, pf, interpret=(phase2 == "mxu_interpret"))
         elif phase2.startswith("pallas"):
             from .pallas_update import panel_update
 
@@ -206,11 +232,19 @@ def _pad(eqs: np.ndarray, cols: int, k_panel: int, word_align: int = 1):
     return out
 
 
-def _pick_phase2(wp: int) -> str:
-    """Pallas tiles need >= 128 lanes; small systems use the jnp path."""
+def _pick_engines(wp: int) -> tuple[str, str]:
+    """(phase1, phase2): pallas kernels need >= 128 lanes and a real TPU;
+    small systems / other backends use the jnp paths."""
+    import os
+
     if wp >= 128 and jax.default_backend() == "tpu":
-        return "pallas"
-    return "jnp"
+        p1, p2 = "pallas", "mxu"
+    else:
+        p1, p2 = "jnp", "jnp"
+    return (
+        os.environ.get("GF2BV_TPU_PHASE1", p1),
+        os.environ.get("GF2BV_TPU_PHASE2", p2),
+    )
 
 
 def solve_blocked(
@@ -219,12 +253,16 @@ def solve_blocked(
     mode: int,
     k_panel: int = K_PANEL,
     phase2: str | None = None,
+    phase1: str | None = None,
 ):
     """Drop-in replacement for gauss_jax.solve_jax; same return contract."""
     from . import extract_device
 
     a32 = _pad(eqs, cols, k_panel, word_align=128)
-    if phase2 is None:
-        phase2 = _pick_phase2(a32.shape[1])
-    rref32, pof, inconsistent = rref_blocked(jnp.asarray(a32), cols, k_panel, phase2)
+    auto1, auto2 = _pick_engines(a32.shape[1])
+    phase1 = phase1 or auto1
+    phase2 = phase2 or auto2
+    rref32, pof, inconsistent = rref_blocked(
+        jnp.asarray(a32), cols, k_panel, phase2, phase1
+    )
     return extract_device.finalize(rref32, pof, inconsistent, cols, mode)

@@ -1,0 +1,174 @@
+"""Pallas kernel for the blocked solver's phase 1 (thin panel elimination).
+
+The jnp phase 1 runs 2*K tiny dependent steps per panel through the XLA
+fori_loop machinery — tens of µs of fixed per-step overhead dominate the
+~1 µs of useful work, costing seconds over the 19969 pivots of an MT19937
+solve.  This kernel runs the entire panel — K forward pivot steps, the
+pivot-row reconstructions, and the K-step back-elimination — inside ONE
+kernel invocation with everything VMEM-resident; only the per-pivot row
+fetch DMAs from HBM.
+
+Mosaic layout notes (the constraints that shaped this kernel):
+* lane (minor-dim) indices must be static or 128-aligned, so the thin
+  per-row state is stored TRANSPOSED — rows on lanes: bT/cT are (kw, rows),
+  used is (1, rows).  Dynamic per-row reads become masked lane reductions;
+  per-word reads become static sublane selects (kw is tiny).
+* sums over unsigned ints are unsupported -> reductions go through int32.
+* pf stays (K, wp) — dynamic SUBLANE indexing (pf[jj]) is allowed.
+
+outputs: pf (K, wp) final pivot rows, prow (K,) int32 pivot row indices (-1
+free), used' (1, rows).  Selector-matrix construction and pof bookkeeping
+stay outside (cheap jnp on tiny arrays).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(rows: int, wp: int, K: int, kw: int, cols: int):
+    def kernel(w0_ref, bT_in, used_in, a_hbm, pf_ref, prow_ref, used_ref,
+               bT_ref, cT_ref, rowbuf, sem):
+        w0 = w0_ref[0]
+        lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+        k_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        kw_ids = lax.broadcasted_iota(jnp.int32, (kw, 1), 0)
+
+        bT_ref[:] = bT_in[:]
+        used_ref[:] = used_in[:]
+        cT_ref[:] = jnp.zeros((kw, rows), jnp.uint32)
+        pf_ref[:] = jnp.zeros((K, wp), jnp.uint32)
+
+        def lane_extract(mat, piv):
+            """mat: (s, rows) -> (s, 1): the column at dynamic lane piv."""
+            sel = jnp.where(lane_ids == piv, mat.astype(jnp.int32), 0)
+            return jnp.sum(sel, axis=1, keepdims=True).astype(jnp.uint32)
+
+        def p1_step(jj, _):
+            gbit = 32 * w0 + jj
+            valid = (gbit >= 1) & (gbit <= cols)
+            word = jj >> 5
+            shift = (jj & 31).astype(jnp.uint32)
+            colw = jnp.zeros((1, rows), jnp.uint32)
+            for t in range(kw):
+                colw = jnp.where(word == t, bT_ref[t : t + 1, :], colw)
+            colb = (colw >> shift) & 1
+            cand = (colb == 1) & (used_ref[:] == 0) & valid
+            piv = jnp.min(jnp.where(cand, lane_ids, rows))
+            has = piv < rows
+            piv_safe = jnp.where(has, piv, 0)
+
+            # fetch the pivot's full (panel-start) row from HBM
+            dma = pltpu.make_async_copy(
+                a_hbm.at[pl.ds(piv_safe, 1), :], rowbuf, sem
+            )
+            dma.start()
+
+            # XOR-combination of earlier forward pivot rows selected by C[piv]
+            crow = lane_extract(cT_ref[:], piv_safe)  # (kw, 1)
+            word_k = k_ids >> 5
+            shift_k = (k_ids & 31).astype(jnp.uint32)
+            wsel = jnp.zeros((K, 1), jnp.uint32)
+            for t in range(kw):
+                wsel = jnp.where(word_k == t, crow[t, 0], wsel)
+            bits_k = (wsel >> shift_k) & 1
+            mask_k = (jnp.uint32(0) - bits_k).astype(jnp.uint32)
+            x = pf_ref[:] & mask_k  # (K, wp)
+            n = K
+            while n > 1:
+                half = n // 2
+                x = x[:half] ^ x[half:n]
+                n = half
+            dma.wait()
+            full = rowbuf[0:1, :] ^ x  # (1, wp)
+            mask_has = jnp.where(has, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            pf_ref[pl.ds(jj, 1), :] = full & mask_has
+            prow_ref[jj] = jnp.where(has, piv, -1)
+
+            # eliminate remaining candidates within the slice; record coeffs
+            bpiv = lane_extract(bT_ref[:], piv_safe)  # (kw, 1)
+            elim = cand & (lane_ids != piv)  # (1, rows)
+            elim_mask = jnp.where(elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            bT_ref[:] = bT_ref[:] ^ (elim_mask & bpiv)  # (kw, rows)
+            cbit = jnp.where(
+                kw_ids == word, jnp.uint32(1) << shift, jnp.uint32(0)
+            )  # (kw, 1)
+            cT_ref[:] = cT_ref[:] ^ (elim_mask & cbit)
+            used_ref[:] = jnp.where(
+                (lane_ids == piv) & has, jnp.int32(1), used_ref[:]
+            )
+            return 0
+
+        lax.fori_loop(0, K, p1_step, 0)
+
+        # back-eliminate the pivot rows among themselves (descending)
+        def p1b_step(s, _):
+            jj = K - 1 - s
+            pivoted = prow_ref[jj] >= 0
+            wcol = w0 + (jj >> 5)
+            base = pl.multiple_of((wcol >> 7) << 7, 128)  # 128-lane window
+            lane = wcol - base
+            win = pf_ref[:, pl.ds(base, 128)]  # (K, 128)
+            win_lanes = lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+            shift = (jj & 31).astype(jnp.uint32)
+            colw = jnp.sum(
+                jnp.where(win_lanes == lane, win.astype(jnp.int32), 0),
+                axis=1,
+                keepdims=True,
+            ).astype(jnp.uint32)
+            colb = (colw >> shift) & 1  # (K, 1)
+            elim = (colb == 1) & (k_ids != jj) & pivoted
+            elim_mask = jnp.where(elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            pfrow = pf_ref[pl.ds(jj, 1), :]  # (1, wp)
+            pf_ref[:] = pf_ref[:] ^ (elim_mask & pfrow)
+            return 0
+
+        lax.fori_loop(0, K, p1b_step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def phase1_panel(a, bT, used, w0, K: int, cols: int, interpret: bool = False):
+    """Run phase 1 for one panel.
+
+    a: (rows, wp) u32 (stays in HBM); bT: (kw, rows) u32 transposed panel
+    slice; used: (1, rows) int32; w0: () int32 panel word offset.
+    Returns (pf (K, wp) u32, prow (K,) i32, used' (1, rows) i32).
+    """
+    rows, wp = a.shape
+    kw = K // 32
+    assert wp % 128 == 0, "wp must be lane-aligned for the back pass"
+    kernel = _make_kernel(rows, wp, K, kw, cols)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((1, rows), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kw, rows), jnp.uint32),  # bT (working slice)
+            pltpu.VMEM((kw, rows), jnp.uint32),  # cT (coefficients)
+            pltpu.VMEM((1, wp), jnp.uint32),  # rowbuf (pivot row DMA)
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(jnp.asarray(w0, jnp.int32).reshape(1), bT, used, a)

@@ -38,6 +38,83 @@ def _panel_update_kernel(sel_ref, pf_ref, a_ref, out_ref):
     out_ref[:] = acc
 
 
+def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
+    """GF(2) rank-K update as 32 bit-plane matmuls on the MXU.
+
+    selbits: (TR, K) bf16 0/1; pfbits: (32, K, TW) bf16 — bit-plane-major
+    unpacked pivot rows; counts are exact in f32 (K < 2^24); parity repacks
+    straight into uint32 words, no in-kernel reshape (Mosaic-unsupported).
+    """
+    packed = jnp.zeros_like(a_ref[:], dtype=jnp.int32)
+    for b in range(32):
+        counts = jnp.dot(
+            selbits_ref[:], pfbits_ref[b], preferred_element_type=jnp.float32
+        )
+        packed = packed | ((counts.astype(jnp.int32) & 1) << b)
+    out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
+
+
+_SHIFTS = None
+
+
+def _shifts32():
+    global _SHIFTS
+    if _SHIFTS is None:
+        _SHIFTS = jnp.arange(32, dtype=jnp.uint32)
+    return _SHIFTS
+
+
+def unpack_sel_bits(sel):
+    """(rows, kw) u32 -> (rows, K) bf16 0/1."""
+    rows, kw = sel.shape
+    s = _shifts32()
+    return (
+        ((sel[:, :, None] >> s[None, None, :]) & 1)
+        .reshape(rows, kw * 32)
+        .astype(jnp.bfloat16)
+    )
+
+
+def unpack_pf_planes(pf):
+    """(K, wp) u32 -> (32, K, wp) bf16: bit-plane-major unpacked rows."""
+    s = _shifts32()
+    return ((pf[None, :, :] >> s[:, None, None]) & 1).astype(jnp.bfloat16)
+
+
+def panel_update_mxu(a, sel, pf, *, interpret: bool = False):
+    """MXU variant of panel_update; same contract."""
+    rows, wp = a.shape
+    k = pf.shape[0]
+    tw = 128 if wp % 128 == 0 else wp
+    tr = min(TR, rows)
+    grid = (rows // tr, wp // tw)
+    selbits = unpack_sel_bits(sel)
+    pfbits = unpack_pf_planes(pf)
+    return pl.pallas_call(
+        _mxu_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tr, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (32, k, tw), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * k * wp * 32,
+            bytes_accessed=2 * rows * wp * 4 + rows * k * 2 + 32 * k * wp * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(selbits, pfbits, a)
+
+
 def pick_tw(wp: int) -> int:
     """Largest word-tile (multiple of 128) dividing wp."""
     for tw in (640, 512, 384, 256, 128):

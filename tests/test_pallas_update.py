@@ -53,3 +53,39 @@ def test_blocked_solver_with_pallas_phase2():
     origin, basis = got
     assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
     assert packing.rows_to_ints(basis) == packing.rows_to_ints(ref.basis)
+
+
+def test_blocked_solver_with_pallas_phase1_interpret():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_solver import random_system
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+
+    rng = np.random.default_rng(7)
+    eqs, _ = random_system(rng, 90, 75, rank_deficit=5)
+    ref = solve_oracle(eqs, 75)
+    got = solve_blocked(eqs, 75, 1, phase1="pallas_interpret", phase2="jnp")
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert packing.rows_to_ints(basis) == packing.rows_to_ints(ref.basis)
+
+
+def test_mxu_panel_update_interpret():
+    from gf2bv_tpu.ops.pallas_update import panel_update_mxu
+
+    rng = np.random.default_rng(12)
+    rows, wp, k = 256, 128, 128
+    a = rng.integers(0, 2**32, size=(rows, wp), dtype=np.uint32)
+    sel = rng.integers(0, 2**32, size=(rows, k // 32), dtype=np.uint32)
+    pf = rng.integers(0, 2**32, size=(k, wp), dtype=np.uint32)
+    got = np.asarray(
+        panel_update_mxu(
+            jnp.asarray(a), jnp.asarray(sel), jnp.asarray(pf), interpret=True
+        )
+    )
+    want = ref_update(a, sel, pf)
+    assert np.array_equal(got, want)

@@ -148,3 +148,20 @@ def test_quadratic_pickle():
     q2 = pickle.loads(pickle.dumps(qsys))
     assert q2._quad_sizes == [5]
     assert q2._quad_size == 10
+
+
+def test_quadratic_multi_block_sizes():
+    # QuadraticSystem with multiple sizes (reference nlfsr_ex.py:22)
+    qsys = QuadraticSystem([5, 3])
+    lo, hi = qsys.gens()
+    x = lo.concat(hi)
+    secret = 0b10110101
+    zeros = [x ^ secret]
+    for i in range(8):
+        for j in range(i):
+            zeros.append(
+                qsys.mul_bit(x[i], x[j]) ^ (((secret >> i) & (secret >> j)) & 1)
+            )
+    sol = qsys.solve_one(zeros)
+    assert sol == (secret & 0b11111, secret >> 5)
+    assert qsys.evaluate(x, sol) == secret
