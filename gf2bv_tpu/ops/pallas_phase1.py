@@ -64,9 +64,12 @@ def _make_kernel(rows: int, wp: int, K: int, kw: int, cols: int):
             has = piv < rows
             piv_safe = jnp.where(has, piv, 0)
 
-            # fetch the pivot's full (panel-start) row from HBM
+            # fetch the pivot's full (panel-start) row from HBM; HBM slices
+            # must be sublane-tiling (8) aligned, so copy the aligned 8-row
+            # block and select the row with a masked reduction
+            base = pl.multiple_of((piv_safe >> 3) << 3, 8)
             dma = pltpu.make_async_copy(
-                a_hbm.at[pl.ds(piv_safe, 1), :], rowbuf, sem
+                a_hbm.at[pl.ds(base, 8), :], rowbuf, sem
             )
             dma.start()
 
@@ -86,7 +89,15 @@ def _make_kernel(rows: int, wp: int, K: int, kw: int, cols: int):
                 x = x[:half] ^ x[half:n]
                 n = half
             dma.wait()
-            full = rowbuf[0:1, :] ^ x  # (1, wp)
+            sub_ids = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            arow = jnp.sum(
+                jnp.where(
+                    sub_ids == (piv_safe & 7), rowbuf[:].astype(jnp.int32), 0
+                ),
+                axis=0,
+                keepdims=True,
+            ).astype(jnp.uint32)
+            full = arow ^ x  # (1, wp)
             mask_has = jnp.where(has, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
             pf_ref[pl.ds(jj, 1), :] = full & mask_has
             prow_ref[jj] = jnp.where(has, piv, -1)
@@ -167,7 +178,7 @@ def phase1_panel(a, bT, used, w0, K: int, cols: int, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((kw, rows), jnp.uint32),  # bT (working slice)
             pltpu.VMEM((kw, rows), jnp.uint32),  # cT (coefficients)
-            pltpu.VMEM((1, wp), jnp.uint32),  # rowbuf (pivot row DMA)
+            pltpu.VMEM((8, wp), jnp.uint32),  # rowbuf (aligned 8-row DMA)
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -54,20 +56,15 @@ def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
     out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
 
 
-_SHIFTS = None
-
-
-def _shifts32():
-    global _SHIFTS
-    if _SHIFTS is None:
-        _SHIFTS = jnp.arange(32, dtype=jnp.uint32)
-    return _SHIFTS
+# numpy constant: safe to close over inside traced functions (a cached jnp
+# array would leak a tracer across jit scopes)
+_SHIFTS32 = np.arange(32, dtype=np.uint32)
 
 
 def unpack_sel_bits(sel):
     """(rows, kw) u32 -> (rows, K) bf16 0/1."""
     rows, kw = sel.shape
-    s = _shifts32()
+    s = _SHIFTS32
     return (
         ((sel[:, :, None] >> s[None, None, :]) & 1)
         .reshape(rows, kw * 32)
@@ -77,7 +74,7 @@ def unpack_sel_bits(sel):
 
 def unpack_pf_planes(pf):
     """(K, wp) u32 -> (32, K, wp) bf16: bit-plane-major unpacked rows."""
-    s = _shifts32()
+    s = _SHIFTS32
     return ((pf[None, :, :] >> s[:, None, None]) & 1).astype(jnp.bfloat16)
 
 

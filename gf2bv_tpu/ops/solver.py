@@ -39,7 +39,14 @@ def _auto_backend(cols: int) -> str:
 
 def solve(eqs: np.ndarray, cols: int, mode: int, backend: str | None = None):
     """eqs: packed (rows, W64) uint64 over 1+cols bits (bit 0 = const)."""
+    from ..utils import profiling
+
     backend = backend or _auto_backend(cols)
+    with profiling.phase(f"solve[{backend}]"):
+        return _solve(eqs, cols, mode, backend)
+
+
+def _solve(eqs: np.ndarray, cols: int, mode: int, backend: str):
 
     if backend == "oracle":
         from .gauss_ref import solve_oracle
