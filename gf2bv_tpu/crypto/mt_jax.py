@@ -1,0 +1,173 @@
+"""MT19937 symbolic trace as a device program (the flagship fast path).
+
+The generic trace (crypto/mt.py over numpy BitVecs) builds the ~100 MB
+packed system on the host and uploads it — through this machine's TPU
+tunnel that upload dominates the whole solve (3.8 s of a 4.2 s solve_one).
+But the symbolic system is pure structured bit-matrix algebra: the initial
+state is a one-hot basis, twist/temper are row masks/shifts/XORs.  So build
+it directly on the TPU under one jit; the only host->device traffic is the
+concrete outputs (624 uint32 words, 2.5 KB).
+
+Semantics mirror crypto/mt.py (itself faithful to the reference
+``/root/reference/gf2bv/crypto/mt.py``): state tensor S[(i, b)] = packed
+affine mask of bit b of state word i; twist linearizes the ``(y & 1) * a``
+select as broadcast-bit0 AND a (ref mt.py:33-38); temper is the standard
+4-round shift/mask cascade; ``getrandbits(bs)`` for bs <= w takes the top
+``bs`` bits of each output word (ref mt.py:56-60).
+
+Exactness is tested against the generic host trace bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import packing
+
+# MT19937 parameters (as in crypto/mt.py)
+W, N, M, R = 32, 624, 397, 31
+A = 0x9908B0DF
+U, D = 11, 0xFFFFFFFF
+S_, B = 7, 0x9D2C5680
+T_, C = 15, 0xEFC60000
+L = 18
+
+COLS = W * N  # 19968
+_NBITS = 1 + COLS
+
+
+def _bits32(mask: int) -> np.ndarray:
+    return np.array([(mask >> i) & 1 for i in range(32)], dtype=np.uint32)
+
+
+def _wp(pad_words: int = 128) -> int:
+    w32 = 2 * packing.nwords64(_NBITS)
+    return -(-w32 // pad_words) * pad_words
+
+
+def _shift_rows(y: jnp.ndarray, n: int, left: bool) -> jnp.ndarray:
+    """BitVec >>/<< on the (32, wp) row representation (LSB-first rows)."""
+    z = jnp.zeros((n, y.shape[1]), y.dtype)
+    if left:
+        return jnp.concatenate([z, y[:-n]], axis=0)
+    return jnp.concatenate([y[n:], z], axis=0)
+
+
+def _temper(y: jnp.ndarray) -> jnp.ndarray:
+    """Temper a (..., 32, wp) block (vectorized over leading dims)."""
+
+    def sh(v, n, left):
+        z = jnp.zeros(v.shape[:-2] + (n, v.shape[-1]), v.dtype)
+        if left:
+            return jnp.concatenate([z, v[..., :-n, :]], axis=-2)
+        return jnp.concatenate([v[..., n:, :], z], axis=-2)
+
+    def mask(v, m):
+        bits = jnp.asarray(_bits32(m))[..., :, None]
+        return v * bits
+
+    y = y ^ mask(sh(y, U, False), D)
+    y = y ^ mask(sh(y, S_, True), B)
+    y = y ^ mask(sh(y, T_, True), C)
+    y = y ^ sh(y, L, False)
+    return y
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def mt19937_system_device(outs: jnp.ndarray, bs: int, samples: int):
+    """Packed equation matrix for MT19937 recovery, built on device.
+
+    outs: (samples,) uint32 — the observed getrandbits(bs) values, bs <= 32.
+    Returns (rows, wp) uint32: ``samples*bs`` output equations followed by
+    the 32 known-MSB equations mt[0] ^ 0x80000000 (examples/mt.py:33).
+    """
+    assert 1 <= bs <= 32
+    wp = _wp()
+    epochs = -(-samples // N)
+
+    # initial symbolic state: S[i, b] has packed bit (1 + 32 i + b) set
+    pos = 1 + 32 * lax.broadcasted_iota(jnp.int32, (N, W, 1), 0) + (
+        lax.broadcasted_iota(jnp.int32, (N, W, 1), 1)
+    )
+    warr = lax.broadcasted_iota(jnp.int32, (1, 1, wp), 2)
+    state = jnp.where(
+        warr == (pos >> 5),
+        jnp.uint32(1) << (pos & 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+
+    umsk_bits = jnp.asarray(_bits32(0x80000000))[:, None]
+    lmsk_bits = jnp.asarray(_bits32(0x7FFFFFFF))[:, None]
+    a_bits = jnp.asarray(_bits32(A))[:, None]
+
+    def twist_step(i, st):
+        y = st[i] * umsk_bits ^ st[(i + 1) % N] * lmsk_bits
+        sel = jnp.broadcast_to(y[0:1], (W, wp)) * a_bits
+        new = st[(i + M) % N] ^ _shift_rows(y, 1, left=False) ^ sel
+        return st.at[i].set(new)
+
+    blocks = []
+    for _ in range(epochs):
+        state = lax.fori_loop(0, N, twist_step, state)
+        blocks.append(_temper(state))
+    tempered = jnp.concatenate(blocks, axis=0)[:samples]  # (samples, 32, wp)
+
+    # top-bs bits of each word, LSB-first within the output value
+    out_rows = tempered[:, W - bs :, :].reshape(samples * bs, wp)
+    # XOR the observed constant into the affine column (packed bit 0)
+    obit = (outs[:, None] >> lax.broadcasted_iota(jnp.uint32, (1, bs), 1)) & 1
+    const = jnp.zeros((samples * bs, wp), jnp.uint32)
+    const = const.at[:, 0].set(obit.reshape(-1))
+    eqs = out_rows ^ const
+
+    # known-MSB equations: mt[0] ^ 0x80000000
+    msb_pos = 1 + lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    msb = jnp.where(
+        warr[0] == (msb_pos >> 5),
+        jnp.uint32(1) << (msb_pos & 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    msb = msb.at[31, 0].set(msb[31, 0] | jnp.uint32(1))  # const bit on bit 31
+    return jnp.concatenate([eqs, msb], axis=0)
+
+
+def solve_mt19937(outs, bs: int = 32, samples: int | None = None, mode: int = 0):
+    """End-to-end device pipeline: build the system on device and solve it.
+
+    Returns what ``LinearSystem([32]*624).solve_one/solve_raw_space`` would,
+    as the 624-tuple of state words (mode 0) or an AffineSpace (mode 1).
+    """
+    from ..core.affine import AffineSpace
+    from ..ops import extract_device, gauss_blocked
+
+    if samples is None:
+        samples = len(outs)
+    outs32 = jnp.asarray(np.asarray(outs, dtype=np.uint32))
+    eqs = mt19937_system_device(outs32, bs, samples)
+    rows = eqs.shape[0]
+    want = -(-rows // 256) * 256
+    if want != rows:
+        eqs = jnp.concatenate(
+            [eqs, jnp.zeros((want - rows, eqs.shape[1]), jnp.uint32)], axis=0
+        )
+    phase1, phase2 = gauss_blocked._pick_engines(eqs.shape[1])
+    rref32, pof, inconsistent = gauss_blocked.rref_blocked(
+        eqs, COLS, gauss_blocked.K_PANEL, phase2, phase1
+    )
+    raw = extract_device.finalize(rref32, pof, inconsistent, COLS, mode)
+    if raw is None:
+        return None
+    if mode == 1:
+        return AffineSpace(raw[0], raw[1], COLS)
+    s = packing.words_to_int(raw)
+    sol = []
+    for _ in range(N):
+        sol.append(s & 0xFFFFFFFF)
+        s >>= 32
+    return tuple(sol)

@@ -257,12 +257,19 @@ def solve_blocked(
 ):
     """Drop-in replacement for gauss_jax.solve_jax; same return contract."""
     from . import extract_device
+    from ..utils import profiling
 
-    a32 = _pad(eqs, cols, k_panel, word_align=128)
+    with profiling.phase("pad"):
+        a32 = _pad(eqs, cols, k_panel, word_align=128)
     auto1, auto2 = _pick_engines(a32.shape[1])
     phase1 = phase1 or auto1
     phase2 = phase2 or auto2
-    rref32, pof, inconsistent = rref_blocked(
-        jnp.asarray(a32), cols, k_panel, phase2, phase1
-    )
-    return extract_device.finalize(rref32, pof, inconsistent, cols, mode)
+    with profiling.phase("h2d"):
+        a_dev = jnp.asarray(a32)
+        a_dev.block_until_ready()
+    with profiling.phase("rref"):
+        rref32, pof, inconsistent = rref_blocked(
+            a_dev, cols, k_panel, phase2, phase1
+        )
+    with profiling.phase("extract"):
+        return extract_device.finalize(rref32, pof, inconsistent, cols, mode)
