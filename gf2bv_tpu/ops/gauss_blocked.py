@@ -45,6 +45,74 @@ _G = 32  # selector bits folded into one fused full-matrix pass
 _ROW_BUCKET = 256
 
 
+def rank_k_update_jnp(a, s, pf):
+    """a ^= XOR_{jj: s[i] bit jj} pf[jj], the portable jnp formulation.
+
+    a: (rows, wp) u32; s: (rows, kw) u32 selector words; pf: (32*kw, wp).
+    One xor-reduce op per selector word keeps the XLA graph small (an
+    unrolled 32-term chain compiled for many minutes on TPU); the
+    broadcasted AND fuses into the reduction emitter.
+    """
+    kw = s.shape[1]
+    bshift = jnp.arange(_G, dtype=jnp.uint32)
+    for g in range(kw):
+        sw = s[:, g]
+        bits = (sw[:, None] >> bshift[None, :]) & 1
+        mask = (jnp.uint32(0) - bits).astype(jnp.uint32)
+        delta = jnp.bitwise_xor.reduce(
+            mask[:, :, None] & pf[None, g * _G : (g + 1) * _G, :], axis=1
+        )
+        a = a ^ delta
+    return a
+
+
+def apply_rank_k_update(a, s, pf, phase2: str):
+    """Dispatch the phase-2 bulk update to the selected engine."""
+    if phase2 == "skip":  # diagnostics only: times phase 1 alone
+        return a
+    if phase2.startswith("mxu"):
+        from .pallas_update import panel_update_mxu
+
+        return panel_update_mxu(a, s, pf, interpret=(phase2 == "mxu_interpret"))
+    if phase2.startswith("pallas"):
+        from .pallas_update import panel_update
+
+        return panel_update(a, s, pf, interpret=(phase2 == "pallas_interpret"))
+    return rank_k_update_jnp(a, s, pf)
+
+
+def selector_from_prow(b_orig, prow, owned=None, local_idx=None):
+    """Phase-2 selector matrix: S = B_orig masked to pivot columns, with the
+    diagonal flipped on each pivot's own row (see module docstring).
+
+    b_orig: (rows, kw) u32 saved panel slice; prow: (K,) int32 pivot row
+    indices (-1 = free column).  For the row-sharded solver, ``owned`` masks
+    which pivots live in this shard and ``local_idx`` maps them to local row
+    indices; default is the single-shard case (all owned, global == local).
+    """
+    rows, kw = b_orig.shape
+    K = prow.shape[0]
+    bit_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+    if owned is None:
+        owned = prow >= 0
+        local_idx = prow
+    pivbit = (prow >= 0).astype(jnp.uint32) << (bit_ids & 31).astype(jnp.uint32)
+    pm = jnp.zeros((kw,), jnp.uint32).at[bit_ids >> 5].add(pivbit)
+    s = b_orig & pm[None, :]
+    # flip the diagonal so pivot rows map onto PF themselves; writes for
+    # unowned/free columns are dumped into an extra scratch row so they can
+    # never clobber a genuine flip (duplicate scatter indices with different
+    # values are undefined).
+    s_ext = jnp.concatenate([s, jnp.zeros((1, kw), jnp.uint32)], axis=0)
+    prow_safe = jnp.where(owned, local_idx, rows)
+    wordidx = bit_ids >> 5
+    bitval = jnp.where(
+        owned, jnp.uint32(1) << (bit_ids & 31).astype(jnp.uint32), 0
+    )
+    gathered = s_ext[prow_safe, wordidx]
+    return s_ext.at[prow_safe, wordidx].set(gathered ^ bitval)[:rows]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def rref_blocked(
     a: jnp.ndarray,
@@ -162,52 +230,10 @@ def rref_blocked(
         return _panel_tail(a, b_orig, pf, prow, pof, used)
 
     def _panel_tail(a, b_orig, pf, prow, pof, used=None):
-        # ---- selector matrix S from the SAVED original slice ------------
-        # pivot-column mask (kw,) u32
-        pivbit = (prow >= 0).astype(jnp.uint32) << (bit_ids & 31).astype(jnp.uint32)
-        pm = (
-            jnp.zeros((kw,), jnp.uint32)
-            .at[bit_ids >> 5]
-            .add(pivbit)  # disjoint bits: add == or
-        )
-        s = b_orig & pm[None, :]
-        # flip the diagonal so pivot rows map onto PF themselves; writes for
-        # free columns are dumped into an extra scratch row (index `rows`) so
-        # they can never clobber a genuine flip (duplicate scatter indices
-        # with different values are undefined).
-        s_ext = jnp.concatenate([s, jnp.zeros((1, kw), jnp.uint32)], axis=0)
-        prow_safe = jnp.where(prow >= 0, prow, rows)
-        wordidx = bit_ids >> 5
-        bitval = jnp.where(
-            prow >= 0, jnp.uint32(1) << (bit_ids & 31).astype(jnp.uint32), 0
-        )
-        gathered = s_ext[prow_safe, wordidx]
-        s = s_ext.at[prow_safe, wordidx].set(gathered ^ bitval)[:rows]
-
-        # ---- phase 2: rank-K update --------------------------------------
-        if phase2 == "skip":  # diagnostics only: times phase 1 alone
-            pass
-        elif phase2.startswith("mxu"):
-            from .pallas_update import panel_update_mxu
-
-            a = panel_update_mxu(a, s, pf, interpret=(phase2 == "mxu_interpret"))
-        elif phase2.startswith("pallas"):
-            from .pallas_update import panel_update
-
-            a = panel_update(a, s, pf, interpret=(phase2 == "pallas_interpret"))
-        else:
-            # One xor-reduce op per selector word keeps the XLA graph small
-            # (an unrolled 32-term chain compiled for many minutes on TPU);
-            # the broadcasted AND fuses into the reduction emitter.
-            bshift = jnp.arange(_G, dtype=jnp.uint32)
-            for g in range(kw):
-                sw = s[:, g]  # (rows,) u32 selector word
-                bits = (sw[:, None] >> bshift[None, :]) & 1  # (rows, G)
-                mask = (jnp.uint32(0) - bits).astype(jnp.uint32)
-                delta = jnp.bitwise_xor.reduce(
-                    mask[:, :, None] & pf[None, g * _G : (g + 1) * _G, :], axis=1
-                )
-                a = a ^ delta
+        # selector matrix from the SAVED original slice, then the rank-K
+        # bulk update with the selected engine
+        s = selector_from_prow(b_orig, prow)
+        a = apply_rank_k_update(a, s, pf, phase2)
         return a, used, pof
 
     a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))

@@ -129,3 +129,25 @@ def test_unique_solution_bit_exact(backend):
             packing.pack_bits(secret[None, :], 64)[0]
         )
         assert one == want
+
+
+@pytest.mark.parametrize("k_panel", [64, 128, 256])
+def test_blocked_panel_sizes(k_panel):
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+
+    rng = np.random.default_rng(k_panel)
+    eqs, _ = random_system(rng, 96, 80, rank_deficit=6)
+    ref = solve_oracle(eqs, 80)
+    origin, basis = solve_blocked(eqs, 80, 1, k_panel=k_panel)
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert packing.rows_to_ints(basis) == packing.rows_to_ints(ref.basis)
+
+
+def test_env_backend_override(monkeypatch):
+    monkeypatch.setenv("GF2BV_TPU_BACKEND", "oracle")
+    rng = np.random.default_rng(1)
+    eqs, _ = random_system(rng, 2000, 1500)  # above blocked threshold
+    # auto would pick blocked; env forces oracle — same canonical answer
+    one = solver.solve(eqs, 1500, 0)
+    ref = solve_oracle(eqs, 1500)
+    assert one == packing.words_to_int(ref.origin)
