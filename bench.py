@@ -73,21 +73,26 @@ def bench_mt19937(bs: int = 32):
         )
         return extract_device.finalize(rref32, pof, inconsistent, mt_jax.COLS, 0)
 
-    # cold run: compile everything, check correctness
+    # cold run: compile everything, check correctness; the extra forced
+    # readback also compiles the tiny force-slice executable so the warm
+    # loop below never pays a first-use compile
     t0 = time.perf_counter()
+    _ = np.asarray(build()[0, :1])
     raw = solve(build())
     log(f"cold build+solve (incl. compile): {time.perf_counter() - t0:.3f}s")
 
-    # warm timed runs
-    t0 = time.perf_counter()
-    eqs = build()
-    _ = np.asarray(eqs[0, :1])  # force
-    trace_s = time.perf_counter() - t0
-    log(f"generate system (device trace): {trace_s:.3f}s")
+    # warm timed runs (best of 3: the axon tunnel adds jittery RTT)
+    trace_s, solve_s = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eqs = build()
+        _ = np.asarray(eqs[0, :1])  # force (block_until_ready is async here)
+        trace_s = min(trace_s, time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    raw = solve(eqs)
-    solve_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        raw = solve(eqs)
+        solve_s = min(solve_s, time.perf_counter() - t0)
+    log(f"generate system (device trace, warm): {trace_s:.3f}s")
     log(f"solve_one (warm): {solve_s:.3f}s")
 
     # correctness: reference-style round trip

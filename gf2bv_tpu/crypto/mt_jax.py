@@ -51,14 +51,6 @@ def _wp(pad_words: int = 128) -> int:
     return -(-w32 // pad_words) * pad_words
 
 
-def _shift_rows(y: jnp.ndarray, n: int, left: bool) -> jnp.ndarray:
-    """BitVec >>/<< on the (32, wp) row representation (LSB-first rows)."""
-    z = jnp.zeros((n, y.shape[1]), y.dtype)
-    if left:
-        return jnp.concatenate([z, y[:-n]], axis=0)
-    return jnp.concatenate([y[n:], z], axis=0)
-
-
 def _temper(y: jnp.ndarray) -> jnp.ndarray:
     """Temper a (..., 32, wp) block (vectorized over leading dims)."""
 
@@ -102,19 +94,35 @@ def mt19937_system_device(outs: jnp.ndarray, bs: int, samples: int):
         jnp.uint32(0),
     )
 
-    umsk_bits = jnp.asarray(_bits32(0x80000000))[:, None]
-    lmsk_bits = jnp.asarray(_bits32(0x7FFFFFFF))[:, None]
-    a_bits = jnp.asarray(_bits32(A))[:, None]
+    umsk_bits = jnp.asarray(_bits32(0x80000000))[None, :, None]
+    lmsk_bits = jnp.asarray(_bits32(0x7FFFFFFF))[None, :, None]
+    a_bits = jnp.asarray(_bits32(A))[None, :, None]
 
-    def twist_step(i, st):
-        y = st[i] * umsk_bits ^ st[(i + 1) % N] * lmsk_bits
-        sel = jnp.broadcast_to(y[0:1], (W, wp)) * a_bits
-        new = st[(i + M) % N] ^ _shift_rows(y, 1, left=False) ^ sel
-        return st.at[i].set(new)
+    # Vectorized twist.  Step i reads st[i], st[(i+1)%N] (pre-step value)
+    # and st[(i+M)%N] (pre-step for i < N-M, already-twisted otherwise;
+    # i = N-1 also reads the already-twisted st[0]).  Splitting the loop at
+    # multiples of N-M makes every chunk's reads refer only to values fixed
+    # before the chunk, so each chunk is ONE batched array op: 3 ops per
+    # epoch instead of 624 sequential fori_loop steps.
+    bounds = list(range(0, N, N - M)) + [N]  # [0, 227, 454, 624]
+
+    def twist_chunk(st, lo, hi):
+        c = hi - lo
+        idx1 = np.arange(lo + 1, hi + 1) % N
+        idxm = (np.arange(lo, hi) + M) % N
+        y = st[lo:hi] * umsk_bits ^ st[idx1] * lmsk_bits  # (c, W, wp)
+        # y >> 1 on the bit rows, and the linearized (y & 1) * A select
+        y_shr = jnp.concatenate(
+            [y[:, 1:, :], jnp.zeros((c, 1, wp), y.dtype)], axis=1
+        )
+        sel = y[:, 0:1, :] * a_bits
+        new = st[idxm] ^ y_shr ^ sel
+        return lax.dynamic_update_slice(st, new, (lo, 0, 0))
 
     blocks = []
     for _ in range(epochs):
-        state = lax.fori_loop(0, N, twist_step, state)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            state = twist_chunk(state, lo, hi)
         blocks.append(_temper(state))
     tempered = jnp.concatenate(blocks, axis=0)[:samples]  # (samples, 32, wp)
 

@@ -40,7 +40,8 @@ from jax import lax
 
 from ..core import packing
 
-K_PANEL = 128  # panel width in bits
+K_PANEL = 256  # panel width in bits (halves full-matrix passes vs 128;
+# phase-1 cost is K-independent: same total pivot count)
 _G = 32  # selector bits folded into one fused full-matrix pass
 _ROW_BUCKET = 256
 

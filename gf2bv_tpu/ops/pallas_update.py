@@ -43,16 +43,17 @@ def _panel_update_kernel(sel_ref, pf_ref, a_ref, out_ref):
 def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
     """GF(2) rank-K update as 32 bit-plane matmuls on the MXU.
 
-    selbits: (TR, K) bf16 0/1; pfbits: (32, K, TW) bf16 — bit-plane-major
-    unpacked pivot rows; counts are exact in f32 (K < 2^24); parity repacks
-    straight into uint32 words, no in-kernel reshape (Mosaic-unsupported).
+    selbits: (TR, K) int8 0/1; pfbits: (32, K, TW) int8 — bit-plane-major
+    unpacked pivot rows; int8 x int8 -> int32 accumulation is exact and runs
+    at 2x the MXU's bf16 rate on v5; parity repacks straight into uint32
+    words, no in-kernel reshape (Mosaic-unsupported).
     """
     packed = jnp.zeros_like(a_ref[:], dtype=jnp.int32)
     for b in range(32):
         counts = jnp.dot(
-            selbits_ref[:], pfbits_ref[b], preferred_element_type=jnp.float32
+            selbits_ref[:], pfbits_ref[b], preferred_element_type=jnp.int32
         )
-        packed = packed | ((counts.astype(jnp.int32) & 1) << b)
+        packed = packed | ((counts & 1) << b)
     out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
 
 
@@ -62,20 +63,20 @@ _SHIFTS32 = np.arange(32, dtype=np.uint32)
 
 
 def unpack_sel_bits(sel):
-    """(rows, kw) u32 -> (rows, K) bf16 0/1."""
+    """(rows, kw) u32 -> (rows, K) int8 0/1."""
     rows, kw = sel.shape
     s = _SHIFTS32
     return (
         ((sel[:, :, None] >> s[None, None, :]) & 1)
         .reshape(rows, kw * 32)
-        .astype(jnp.bfloat16)
+        .astype(jnp.int8)
     )
 
 
 def unpack_pf_planes(pf):
-    """(K, wp) u32 -> (32, K, wp) bf16: bit-plane-major unpacked rows."""
+    """(K, wp) u32 -> (32, K, wp) int8: bit-plane-major unpacked rows."""
     s = _SHIFTS32
-    return ((pf[None, :, :] >> s[:, None, None]) & 1).astype(jnp.bfloat16)
+    return ((pf[None, :, :] >> s[:, None, None]) & 1).astype(jnp.int8)
 
 
 def panel_update_mxu(a, sel, pf, *, interpret: bool = False):
@@ -84,7 +85,11 @@ def panel_update_mxu(a, sel, pf, *, interpret: bool = False):
     k = pf.shape[0]
     tw = 128 if wp % 128 == 0 else wp
     tr = min(TR, rows)
-    grid = (rows // tr, wp // tw)
+    # Word tiles on the OUTER grid dim, row tiles inner: the (32, k, tw)
+    # pfbits block's index map depends only on j, so Mosaic keeps it resident
+    # in VMEM across the whole inner row sweep instead of re-fetching it
+    # every step (it is ~8x larger than the a/selbits tiles combined).
+    grid = (wp // tw, rows // tr)
     selbits = unpack_sel_bits(sel)
     pfbits = unpack_pf_planes(pf)
     return pl.pallas_call(
@@ -93,19 +98,19 @@ def panel_update_mxu(a, sel, pf, *, interpret: bool = False):
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tr, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (32, k, tw), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+                    (32, k, tw), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * k * wp * 32,
-            bytes_accessed=2 * rows * wp * 4 + rows * k * 2 + 32 * k * wp * 2,
+            bytes_accessed=2 * rows * wp * 4 + rows * k + 32 * k * wp,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -130,19 +135,21 @@ def panel_update(a, sel, pf, *, interpret: bool = False):
     assert k == 32 * kw
     tw = pick_tw(wp)
     tr = min(TR, rows)
-    grid = (rows // tr, wp // tw)
+    # word tiles outer / row tiles inner: the (k, tw) pf block only depends
+    # on j, so it stays VMEM-resident across the inner row sweep
+    grid = (wp // tw, rows // tr)
     return pl.pallas_call(
         _panel_update_kernel,
         out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tr, kw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, tw), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, kw), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tw), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (tr, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
         ),
         cost_estimate=pl.CostEstimate(

@@ -1,0 +1,44 @@
+import os, time, random, sys
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import numpy as np, jax, jax.numpy as jnp
+from gf2bv_tpu.core import packing
+from gf2bv_tpu.crypto import mt_jax
+from gf2bv_tpu.ops import extract_device, gauss_blocked
+
+rand = random.Random(3142)
+out = [rand.getrandbits(32) for _ in range(624)]
+outs32 = jnp.asarray(np.asarray(out, dtype=np.uint32))
+
+def build():
+    eqs = mt_jax.mt19937_system_device(outs32, 32, 624)
+    eqs = jnp.concatenate([eqs, jnp.zeros((224, eqs.shape[1]), jnp.uint32)], axis=0)
+    return eqs
+
+def force(x):
+    return np.asarray(x[0, :1] if x.ndim > 1 else x[:1])
+
+eqs = build(); force(eqs)
+
+for K in (128, 256):
+    try:
+        # warm
+        r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", "pallas")
+        force(r)
+        best_rref = float("inf"); best_fin = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", "pallas")
+            force(r)
+            best_rref = min(best_rref, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            raw = extract_device.finalize(r, pof, inc, mt_jax.COLS, 0)
+            best_fin = min(best_fin, time.perf_counter() - t0)
+        print(f"K={K}: rref={best_rref:.4f}s finalize={best_fin:.4f}s")
+        # phase1 alone
+        r2, _, _ = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "skip", "pallas"); force(r2)
+        t0 = time.perf_counter()
+        r2, _, _ = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "skip", "pallas"); force(r2)
+        print(f"K={K}: phase1-only={time.perf_counter()-t0:.4f}s")
+    except Exception as e:
+        print(f"K={K}: FAILED {type(e).__name__}: {e}")
+        sys.exit(1)
