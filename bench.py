@@ -48,7 +48,7 @@ def bench_mt19937(bs: int = 32):
     from gf2bv_tpu.core import packing
     from gf2bv_tpu.crypto import mt_jax
     from gf2bv_tpu.crypto.mt import MT19937
-    from gf2bv_tpu.ops import extract_device, gauss_blocked
+    from gf2bv_tpu.ops import gauss_blocked
 
     rand = random.Random(3142)
     st = tuple(rand.getstate()[1][:-1])
@@ -68,10 +68,13 @@ def bench_mt19937(bs: int = 32):
 
     def solve(eqs):
         phase1, phase2 = gauss_blocked._pick_engines(eqs.shape[1])
-        rref32, pof, inconsistent = gauss_blocked.rref_blocked(
-            eqs, mt_jax.COLS, gauss_blocked.K_PANEL, phase2, phase1
+        origin32, inconsistent = jax.device_get(
+            gauss_blocked.rref_origin_blocked(
+                eqs, mt_jax.COLS, gauss_blocked.K_PANEL, phase2, phase1
+            )
         )
-        return extract_device.finalize(rref32, pof, inconsistent, mt_jax.COLS, 0)
+        assert not bool(inconsistent)
+        return packing.from_u32(origin32[None, :])[0]
 
     # cold run: compile everything, check correctness; the extra forced
     # readback also compiles the tiny force-slice executable so the warm

@@ -165,10 +165,20 @@ def solve_mt19937(outs, bs: int = 32, samples: int | None = None, mode: int = 0)
             [eqs, jnp.zeros((want - rows, eqs.shape[1]), jnp.uint32)], axis=0
         )
     phase1, phase2 = gauss_blocked._pick_engines(eqs.shape[1])
-    rref32, pof, inconsistent = gauss_blocked.rref_blocked(
-        eqs, COLS, gauss_blocked.K_PANEL, phase2, phase1
-    )
-    raw = extract_device.finalize(rref32, pof, inconsistent, COLS, mode)
+    if mode == 0:
+        origin32, inconsistent = jax.device_get(
+            gauss_blocked.rref_origin_blocked(
+                eqs, COLS, gauss_blocked.K_PANEL, phase2, phase1
+            )
+        )
+        if bool(inconsistent):
+            return None
+        raw = packing.from_u32(np.asarray(origin32)[None, :])[0]
+    else:
+        rref32, pof, inconsistent = gauss_blocked.rref_blocked(
+            eqs, COLS, gauss_blocked.K_PANEL, phase2, phase1
+        )
+        raw = extract_device.finalize(rref32, pof, inconsistent, COLS, mode)
     if raw is None:
         return None
     if mode == 1:

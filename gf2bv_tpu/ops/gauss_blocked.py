@@ -248,6 +248,26 @@ def rref_blocked(
     return a, pof, inconsistent
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def rref_origin_blocked(
+    a: jnp.ndarray,
+    cols: int,
+    k_panel: int = K_PANEL,
+    phase2: str = "jnp",
+    phase1: str = "jnp",
+):
+    """Fused RREF + mode-0 extraction in ONE device program.
+
+    Returns (origin32 (Wsol32,) u32, inconsistent scalar) — the only outputs
+    a solve_one needs, so a single dispatch+readback replaces the separate
+    rref and origin_device calls."""
+    from . import extract_device
+
+    rref32, pof, inconsistent = rref_blocked(a, cols, k_panel, phase2, phase1)
+    origin32 = extract_device.origin_device(rref32, pof, cols)
+    return origin32, inconsistent
+
+
 def _pad(eqs: np.ndarray, cols: int, k_panel: int, word_align: int = 1):
     a32 = np.ascontiguousarray(packing.to_u32(eqs))
     rows, w32 = a32.shape
@@ -294,6 +314,15 @@ def solve_blocked(
     with profiling.phase("h2d"):
         a_dev = jnp.asarray(a32)
         a_dev.block_until_ready()
+    if mode == 0:
+        with profiling.phase("rref+origin"):
+            origin32, inconsistent = rref_origin_blocked(
+                a_dev, cols, k_panel, phase2, phase1
+            )
+            origin32, inconsistent = jax.device_get((origin32, inconsistent))
+        if bool(inconsistent):
+            return None
+        return packing.from_u32(origin32[None, :])[0]
     with profiling.phase("rref"):
         rref32, pof, inconsistent = rref_blocked(
             a_dev, cols, k_panel, phase2, phase1

@@ -38,7 +38,6 @@ def _make_kernel(rows: int, wp: int, K: int, kw: int, cols: int):
         w0 = w0_ref[0]
         lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
         k_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-        kw_ids = lax.broadcasted_iota(jnp.int32, (kw, 1), 0)
 
         bT_ref[:] = bT_in[:]
         used_ref[:] = used_in[:]
@@ -50,97 +49,128 @@ def _make_kernel(rows: int, wp: int, K: int, kw: int, cols: int):
             sel = jnp.where(lane_ids == piv, mat.astype(jnp.int32), 0)
             return jnp.sum(sel, axis=1, keepdims=True).astype(jnp.uint32)
 
-        def p1_step(jj, _):
-            gbit = 32 * w0 + jj
-            valid = (gbit >= 1) & (gbit <= cols)
-            word = jj >> 5
-            shift = (jj & 31).astype(jnp.uint32)
-            colw = jnp.zeros((1, rows), jnp.uint32)
-            for t in range(kw):
-                colw = jnp.where(word == t, bT_ref[t : t + 1, :], colw)
-            colb = (colw >> shift) & 1
-            cand = (colb == 1) & (used_ref[:] == 0) & valid
-            piv = jnp.min(jnp.where(cand, lane_ids, rows))
-            has = piv < rows
-            piv_safe = jnp.where(has, piv, 0)
+        # The pivot loop is a static outer loop over the kw 32-bit sub-words
+        # of the panel with a dynamic 32-step inner loop.  A static sub-word
+        # index makes every slice static, which buys (per pivot step):
+        # * the candidate column word is ONE static row of bT, not a kw-way
+        #   dynamic select over the whole (kw, rows) slice;
+        # * the intra-slice elimination only touches bT[sw:] — words < sw
+        #   are never scanned again within this panel (triangular update);
+        # * the coefficient write hits the single static word sw;
+        # * coefficient reads and the pivot-row combination only cover the
+        #   32*(sw+1) pivots seen so far.
+        for sw in range(kw):
+            rows_used = 32 * (sw + 1)  # pivots 0 .. rows_used-1 exist so far
+            k_ids_u = k_ids[:rows_used]
 
-            # fetch the pivot's full (panel-start) row from HBM; HBM slices
-            # must be sublane-tiling (8) aligned, so copy the aligned 8-row
-            # block and select the row with a masked reduction
-            base = pl.multiple_of((piv_safe >> 3) << 3, 8)
-            dma = pltpu.make_async_copy(
-                a_hbm.at[pl.ds(base, 8), :], rowbuf, sem
-            )
-            dma.start()
+            def p1_step(jj32, _, sw=sw, rows_used=rows_used, k_ids_u=k_ids_u):
+                jj = 32 * sw + jj32
+                gbit = 32 * w0 + jj
+                valid = (gbit >= 1) & (gbit <= cols)
+                shift = jj32.astype(jnp.uint32)
+                colb = (bT_ref[sw : sw + 1, :] >> shift) & 1
+                cand = (colb == 1) & (used_ref[:] == 0) & valid
+                piv = jnp.min(jnp.where(cand, lane_ids, rows))
+                has = piv < rows
+                piv_safe = jnp.where(has, piv, 0)
 
-            # XOR-combination of earlier forward pivot rows selected by C[piv]
-            crow = lane_extract(cT_ref[:], piv_safe)  # (kw, 1)
-            word_k = k_ids >> 5
-            shift_k = (k_ids & 31).astype(jnp.uint32)
-            wsel = jnp.zeros((K, 1), jnp.uint32)
-            for t in range(kw):
-                wsel = jnp.where(word_k == t, crow[t, 0], wsel)
-            bits_k = (wsel >> shift_k) & 1
-            mask_k = (jnp.uint32(0) - bits_k).astype(jnp.uint32)
-            x = pf_ref[:] & mask_k  # (K, wp)
-            n = K
-            while n > 1:
-                half = n // 2
-                x = x[:half] ^ x[half:n]
-                n = half
-            dma.wait()
-            sub_ids = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-            arow = jnp.sum(
-                jnp.where(
-                    sub_ids == (piv_safe & 7), rowbuf[:].astype(jnp.int32), 0
-                ),
-                axis=0,
-                keepdims=True,
-            ).astype(jnp.uint32)
-            full = arow ^ x  # (1, wp)
-            mask_has = jnp.where(has, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-            pf_ref[pl.ds(jj, 1), :] = full & mask_has
-            prow_ref[jj] = jnp.where(has, piv, -1)
+                # fetch the pivot's full (panel-start) row from HBM; HBM
+                # slices must be sublane-tiling (8) aligned, so copy the
+                # aligned 8-row block and select the row with a masked
+                # reduction
+                base = pl.multiple_of((piv_safe >> 3) << 3, 8)
+                dma = pltpu.make_async_copy(
+                    a_hbm.at[pl.ds(base, 8), :], rowbuf, sem
+                )
+                dma.start()
 
-            # eliminate remaining candidates within the slice; record coeffs
-            bpiv = lane_extract(bT_ref[:], piv_safe)  # (kw, 1)
-            elim = cand & (lane_ids != piv)  # (1, rows)
-            elim_mask = jnp.where(elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-            bT_ref[:] = bT_ref[:] ^ (elim_mask & bpiv)  # (kw, rows)
-            cbit = jnp.where(
-                kw_ids == word, jnp.uint32(1) << shift, jnp.uint32(0)
-            )  # (kw, 1)
-            cT_ref[:] = cT_ref[:] ^ (elim_mask & cbit)
-            used_ref[:] = jnp.where(
-                (lane_ids == piv) & has, jnp.int32(1), used_ref[:]
-            )
-            return 0
+                # XOR-combination of the earlier forward pivot rows selected
+                # by C[piv]; only coefficient words 0..sw / pf rows
+                # 0..rows_used-1 can be populated yet
+                crow = lane_extract(cT_ref[: sw + 1, :], piv_safe)  # (sw+1, 1)
+                word_k = k_ids_u >> 5
+                shift_k = (k_ids_u & 31).astype(jnp.uint32)
+                wsel = jnp.zeros((rows_used, 1), jnp.uint32)
+                for t in range(sw + 1):
+                    wsel = jnp.where(word_k == t, crow[t, 0], wsel)
+                bits_k = (wsel >> shift_k) & 1
+                mask_k = (jnp.uint32(0) - bits_k).astype(jnp.uint32)
+                # balanced XOR-reduce per 32-row block (rows_used = 32*(sw+1)
+                # is not always a power of two)
+                x = None
+                for t in range(sw + 1):
+                    xb = pf_ref[32 * t : 32 * (t + 1)] & mask_k[32 * t : 32 * (t + 1)]
+                    n = 32
+                    while n > 1:
+                        half = n // 2
+                        xb = xb[:half] ^ xb[half:n]
+                        n = half
+                    x = xb if x is None else x ^ xb
+                dma.wait()
+                sub_ids = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                arow = jnp.sum(
+                    jnp.where(
+                        sub_ids == (piv_safe & 7), rowbuf[:].astype(jnp.int32), 0
+                    ),
+                    axis=0,
+                    keepdims=True,
+                ).astype(jnp.uint32)
+                full = arow ^ x  # (1, wp)
+                mask_has = jnp.where(has, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+                pf_ref[pl.ds(jj, 1), :] = full & mask_has
+                prow_ref[jj] = jnp.where(has, piv, -1)
 
-        lax.fori_loop(0, K, p1_step, 0)
+                # eliminate remaining candidates within the slice; record
+                # coeffs — triangular: only words >= sw are still live
+                bpiv = lane_extract(bT_ref[sw:, :], piv_safe)  # (kw-sw, 1)
+                elim = cand & (lane_ids != piv)  # (1, rows)
+                elim_mask = jnp.where(
+                    elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                )
+                bT_ref[sw:, :] = bT_ref[sw:, :] ^ (elim_mask & bpiv)
+                cT_ref[sw : sw + 1, :] = cT_ref[sw : sw + 1, :] ^ (
+                    elim_mask & (jnp.uint32(1) << shift)
+                )
+                used_ref[:] = jnp.where(
+                    (lane_ids == piv) & has, jnp.int32(1), used_ref[:]
+                )
+                return 0
 
-        # back-eliminate the pivot rows among themselves (descending)
-        def p1b_step(s, _):
-            jj = K - 1 - s
-            pivoted = prow_ref[jj] >= 0
-            wcol = w0 + (jj >> 5)
-            base = pl.multiple_of((wcol >> 7) << 7, 128)  # 128-lane window
-            lane = wcol - base
-            win = pf_ref[:, pl.ds(base, 128)]  # (K, 128)
-            win_lanes = lax.broadcasted_iota(jnp.int32, (K, 128), 1)
-            shift = (jj & 31).astype(jnp.uint32)
-            colw = jnp.sum(
-                jnp.where(win_lanes == lane, win.astype(jnp.int32), 0),
-                axis=1,
-                keepdims=True,
-            ).astype(jnp.uint32)
-            colb = (colw >> shift) & 1  # (K, 1)
-            elim = (colb == 1) & (k_ids != jj) & pivoted
-            elim_mask = jnp.where(elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-            pfrow = pf_ref[pl.ds(jj, 1), :]  # (1, wp)
-            pf_ref[:] = pf_ref[:] ^ (elim_mask & pfrow)
-            return 0
+            lax.fori_loop(0, 32, p1_step, 0)
 
-        lax.fori_loop(0, K, p1b_step, 0)
+        # back-eliminate the pivot rows among themselves (descending).
+        # Triangular: a forward row r was eliminated against pivots 0..r-1,
+        # so it has zeros in pivot columns < r — only rows ABOVE jj can have
+        # bit jj set.  Static descending sub-words keep the slice static.
+        for sw in reversed(range(kw)):
+            rows_used = 32 * (sw + 1)
+            k_ids_u = k_ids[:rows_used]
+            win_lanes = lax.broadcasted_iota(jnp.int32, (rows_used, 128), 1)
+
+            def p1b_step(s, _, sw=sw, rows_used=rows_used, k_ids_u=k_ids_u,
+                         win_lanes=win_lanes):
+                jj32 = 31 - s
+                jj = 32 * sw + jj32
+                pivoted = prow_ref[jj] >= 0
+                wcol = w0 + sw
+                base = pl.multiple_of((wcol >> 7) << 7, 128)  # 128-lane window
+                lane = wcol - base
+                win = pf_ref[:rows_used, pl.ds(base, 128)]
+                colw = jnp.sum(
+                    jnp.where(win_lanes == lane, win.astype(jnp.int32), 0),
+                    axis=1,
+                    keepdims=True,
+                ).astype(jnp.uint32)
+                colb = (colw >> jj32.astype(jnp.uint32)) & 1  # (rows_used, 1)
+                elim = (colb == 1) & (k_ids_u != jj) & pivoted
+                elim_mask = jnp.where(
+                    elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                )
+                pfrow = pf_ref[pl.ds(jj, 1), :]  # (1, wp)
+                pf_ref[:rows_used] = pf_ref[:rows_used] ^ (elim_mask & pfrow)
+                return 0
+
+            lax.fori_loop(0, 32, p1b_step, 0)
 
     return kernel
 
