@@ -2,6 +2,11 @@
 
 Port of ``/root/reference/examples/lfsr.py``."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+
 import secrets
 
 from gf2bv_tpu import LinearSystem

@@ -4,6 +4,11 @@ Port of ``/root/reference/examples/mt.py``: recovers the full 624-word state
 from getrandbits(bs) outputs for bs in {32, 17, 9, 1, 1337, 137}, via a
 19968-variable GF(2) system solved on TPU."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+
 import random
 
 from gf2bv_tpu import LinearSystem

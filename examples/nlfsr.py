@@ -3,6 +3,11 @@
 Port of ``/root/reference/examples/nlfsr.py``: 128-bit LFSR, 5-tap combiner,
 QuadraticSystem with 128 linear + 8128 monomial columns."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+
 import itertools
 import secrets
 

@@ -5,6 +5,11 @@ the traced (input-independent) system for reuse, (b) recovering from an
 oversized solution space by guessing bits with ``bit_assert``, and (c) the
 TPU addition — solving all guess subsystems as ONE batched device call."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+
 import gzip
 import itertools
 import pickle

@@ -3,6 +3,11 @@
 Port of the reference example ``/root/reference/examples/simple.py`` to
 gf2bv_tpu (identical workload; the API is drop-in)."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+
 import secrets
 
 from gf2bv_tpu import BitVec, LinearSystem
