@@ -71,7 +71,7 @@ def bench_rowsharded(rows=4096, cols=2048):
     from gf2bv_tpu.core import packing
     from gf2bv_tpu.ops import solver
     from gf2bv_tpu.parallel import mesh as meshlib
-    from gf2bv_tpu.parallel.rowshard import solve_rowsharded
+    from gf2bv_tpu.parallel.rowshard_blocked import solve_rowsharded_blocked
 
     rng = np.random.default_rng(1)
     secret = rng.integers(0, 2, size=cols).astype(np.uint8)
@@ -82,12 +82,12 @@ def bench_rowsharded(rows=4096, cols=2048):
 
     n = jax.device_count()
     mesh = meshlib.make_mesh(batch=1, rows=n)
-    got = solve_rowsharded(eqs, cols, 0, mesh)  # warm-up + correctness
+    got = solve_rowsharded_blocked(eqs, cols, 0, mesh)  # warm-up + correctness
     want = solver.solve(eqs, cols, 0, backend="jax")
     assert packing.words_to_int(got) == want
 
     t0 = time.perf_counter()
-    solve_rowsharded(eqs, cols, 0, mesh)
+    solve_rowsharded_blocked(eqs, cols, 0, mesh)
     sharded_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     solver.solve(eqs, cols, 0, backend="jax")
@@ -95,7 +95,7 @@ def bench_rowsharded(rows=4096, cols=2048):
     print(
         json.dumps(
             {
-                "metric": f"rowsharded_{cols}cols_{n}dev_vs_single",
+                "metric": f"rowsharded_blocked_{cols}cols_{n}dev_vs_single",
                 "value": round(sharded_s, 4),
                 "unit": "s",
                 "vs_baseline": round(single_s / sharded_s, 3),
