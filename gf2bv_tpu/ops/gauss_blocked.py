@@ -67,14 +67,20 @@ def rank_k_update_jnp(a, s, pf):
     return a
 
 
-def apply_rank_k_update(a, s, pf, phase2: str):
-    """Dispatch the phase-2 bulk update to the selected engine."""
+def apply_rank_k_update(a, s, pf, phase2: str, w0=None):
+    """Dispatch the phase-2 bulk update to the selected engine.
+
+    ``w0`` (traced scalar, first live word of the panel) enables the
+    trailing-update optimization on the MXU engine; other engines do the
+    (equally correct) full-width update."""
     if phase2 == "skip":  # diagnostics only: times phase 1 alone
         return a
     if phase2.startswith("mxu"):
         from .pallas_update import panel_update_mxu
 
-        return panel_update_mxu(a, s, pf, interpret=(phase2 == "mxu_interpret"))
+        return panel_update_mxu(
+            a, s, pf, interpret=(phase2 == "mxu_interpret"), w0=w0
+        )
     if phase2.startswith("pallas"):
         from .pallas_update import panel_update
 
@@ -114,13 +120,14 @@ def selector_from_prow(b_orig, prow, owned=None, local_idx=None):
     return s_ext.at[prow_safe, wordidx].set(gathered ^ bitval)[:rows]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def rref_blocked(
     a: jnp.ndarray,
     cols: int,
     k_panel: int = K_PANEL,
     phase2: str = "jnp",
     phase1: str = "jnp",
+    trailing: bool = False,
 ):
     """Blocked RREF.  a: (rows, Wp) uint32 with Wp % (k_panel//32) == 0.
 
@@ -130,6 +137,15 @@ def rref_blocked(
 
     Returns (rref, pivot_row_of_col, inconsistent) exactly like
     gauss_jax.rref_device.
+
+    ``trailing=True`` (mode-0 fast path) lets the MXU phase-2 engine skip
+    word-tiles left of each panel (except tile 0, the const column): those
+    columns are pivot columns of earlier panels (already identity) or free
+    columns, and a particular solution with free vars = 0 never reads free
+    columns.  The returned matrix is then NOT a full RREF in the free
+    columns, and the ``inconsistent`` flag is unreliable — callers must
+    verify the extracted solution against the original system instead
+    (rref_origin_blocked does).
     """
     K = k_panel
     kw = K // 32
@@ -170,7 +186,7 @@ def rref_blocked(
             gbit = 32 * w0 + bit_ids
             dst = jnp.where(prow >= 0, gbit - 1, cols)  # dump slot at cols
             pof = pof.at[dst].set(prow)
-            return _panel_tail(a, b_orig, pf, prow, pof, used)
+            return _panel_tail(a, b_orig, pf, prow, pof, used, w0)
 
         # ---- phase 1: thin forward elimination on the slice ------------
         def p1(jj, c):
@@ -228,13 +244,13 @@ def rref_blocked(
             return jnp.where(elim[:, None], pf ^ pfrow[None, :], pf)
 
         pf = lax.fori_loop(0, K, p1b, pf)
-        return _panel_tail(a, b_orig, pf, prow, pof, used)
+        return _panel_tail(a, b_orig, pf, prow, pof, used, w0)
 
-    def _panel_tail(a, b_orig, pf, prow, pof, used=None):
+    def _panel_tail(a, b_orig, pf, prow, pof, used, w0):
         # selector matrix from the SAVED original slice, then the rank-K
         # bulk update with the selected engine
         s = selector_from_prow(b_orig, prow)
-        a = apply_rank_k_update(a, s, pf, phase2)
+        a = apply_rank_k_update(a, s, pf, phase2, w0=w0 if trailing else None)
         return a, used, pof
 
     a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
@@ -258,14 +274,32 @@ def rref_origin_blocked(
 ):
     """Fused RREF + mode-0 extraction in ONE device program.
 
-    Returns (origin32 (Wsol32,) u32, inconsistent scalar) — the only outputs
-    a solve_one needs, so a single dispatch+readback replaces the separate
-    rref and origin_device calls."""
+    Returns (origin32 (Wsol32,) u32, unsat scalar) — the only outputs a
+    solve_one needs, so a single dispatch+readback replaces the separate
+    rref and origin_device calls.
+
+    Runs the elimination in trailing mode (MXU tiles left of each panel are
+    skipped), which makes the RREF-based inconsistency flag unreliable; the
+    satisfiability verdict instead comes from verifying A·[1|x] parity == 0
+    per row against the ORIGINAL input — strictly stronger (it would also
+    catch an elimination bug) and one cheap fused matrix pass."""
     from . import extract_device
 
-    rref32, pof, inconsistent = rref_blocked(a, cols, k_panel, phase2, phase1)
+    rref32, pof, _ = rref_blocked(a, cols, k_panel, phase2, phase1, True)
     origin32 = extract_device.origin_device(rref32, pof, cols)
-    return origin32, inconsistent
+
+    # xfull = packed [const=1 | x] over the padded word width
+    wp = a.shape[1]
+    ox = origin32
+    if wp > ox.shape[0]:
+        ox = jnp.concatenate([ox, jnp.zeros((wp - ox.shape[0],), jnp.uint32)])
+    lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ox[:-1] >> 31])
+    xfull = ((ox << 1) | lo).at[0].set((ox[0] << 1) | 1)
+    ones = jnp.sum(
+        lax.population_count(a & xfull[None, :]).astype(jnp.int32), axis=1
+    )
+    unsat = jnp.any((ones & 1) == 1)
+    return origin32, unsat
 
 
 def _pad(eqs: np.ndarray, cols: int, k_panel: int, word_align: int = 1):

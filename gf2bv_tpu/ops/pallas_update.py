@@ -79,8 +79,35 @@ def unpack_pf_planes(pf):
     return ((pf[None, :, :] >> s[:, None, None]) & 1).astype(jnp.int8)
 
 
-def panel_update_mxu(a, sel, pf, *, interpret: bool = False):
-    """MXU variant of panel_update; same contract."""
+def _mxu_kernel_trailing(w0_ref, selbits_ref, pfbits_ref, a_ref, out_ref):
+    """Trailing variant: word-tiles entirely left of the panel start w0
+    (except tile 0, which holds the affine/const column) copy through
+    untouched — in a mode-0 solve those columns are never read again, so
+    their MXU work is skipped.  See gauss_blocked.rref_blocked(trailing=...).
+    """
+    j = pl.program_id(0)
+    tw = out_ref.shape[1]
+    skip = (j > 0) & ((j + 1) * tw <= w0_ref[0])
+
+    @pl.when(skip)
+    def _copy():
+        out_ref[:] = a_ref[:]
+
+    @pl.when(~skip)
+    def _compute():
+        packed = jnp.zeros_like(a_ref[:], dtype=jnp.int32)
+        for b in range(32):
+            counts = jnp.dot(
+                selbits_ref[:], pfbits_ref[b], preferred_element_type=jnp.int32
+            )
+            packed = packed | ((counts & 1) << b)
+        out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
+
+
+def panel_update_mxu(a, sel, pf, *, interpret: bool = False, w0=None):
+    """MXU variant of panel_update; same contract.  If ``w0`` (a traced
+    scalar: first live word of the panel) is given, tiles left of it skip
+    their matmuls (mode-0 trailing update)."""
     rows, wp = a.shape
     k = pf.shape[0]
     tw = 128 if wp % 128 == 0 else wp
@@ -92,29 +119,39 @@ def panel_update_mxu(a, sel, pf, *, interpret: bool = False):
     grid = (wp // tw, rows // tr)
     selbits = unpack_sel_bits(sel)
     pfbits = unpack_pf_planes(pf)
+    data_specs = [
+        pl.BlockSpec((tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (32, k, tw), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * rows * k * wp * 32,
+        bytes_accessed=2 * rows * wp * 4 + rows * k + 32 * k * wp,
+        transcendentals=0,
+    )
+    out_spec = pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    if w0 is None:
+        return pl.pallas_call(
+            _mxu_kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+            grid_spec=pl.GridSpec(grid=grid, in_specs=data_specs, out_specs=out_spec),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(selbits, pfbits, a)
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
     return pl.pallas_call(
-        _mxu_kernel,
+        _mxu_kernel_trailing,
         out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
         grid_spec=pl.GridSpec(
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (32, k, tw), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs,
+            out_specs=out_spec,
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * k * wp * 32,
-            bytes_accessed=2 * rows * wp * 4 + rows * k + 32 * k * wp,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
-    )(selbits, pfbits, a)
+    )(w0_arr, selbits, pfbits, a)
 
 
 def pick_tw(wp: int) -> int:

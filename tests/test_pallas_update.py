@@ -89,3 +89,29 @@ def test_mxu_panel_update_interpret():
     )
     want = ref_update(a, sel, pf)
     assert np.array_equal(got, want)
+
+
+def test_mxu_panel_update_trailing_interpret():
+    """Trailing mode: tiles fully left of w0 (except tile 0) pass through
+    untouched; tile 0 and tiles overlapping/right of w0 get the update."""
+    from gf2bv_tpu.ops.pallas_update import panel_update_mxu
+
+    rng = np.random.default_rng(13)
+    rows, wp, k = 256, 384, 64  # three 128-word tiles
+    a = rng.integers(0, 2**32, size=(rows, wp), dtype=np.uint32)
+    sel = rng.integers(0, 2**32, size=(rows, k // 32), dtype=np.uint32)
+    pf = rng.integers(0, 2**32, size=(k, wp), dtype=np.uint32)
+    w0 = 260  # tile 1 ([128, 256)) is skippable, tile 2 contains w0
+    got = np.asarray(
+        panel_update_mxu(
+            jnp.asarray(a),
+            jnp.asarray(sel),
+            jnp.asarray(pf),
+            interpret=True,
+            w0=w0,
+        )
+    )
+    full = ref_update(a, sel, pf)
+    assert np.array_equal(got[:, :128], full[:, :128])  # tile 0: updated
+    assert np.array_equal(got[:, 128:256], a[:, 128:256])  # tile 1: skipped
+    assert np.array_equal(got[:, 256:], full[:, 256:])  # tile 2: updated
