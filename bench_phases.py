@@ -1,3 +1,12 @@
+"""Phase-level profiling of the blocked TPU solver on the MT19937 system.
+
+Times the device RREF (per panel-width K), the separate mode-1 extraction,
+and phase 1 alone (phase2="skip"), each best-of-3 with a forced readback
+(block_until_ready is asynchronous through the axon tunnel; every number
+therefore includes one ~30 ms tunnel round trip).  Companion to bench.py —
+use this to see WHERE the solve time goes.
+"""
+
 import os, time, random, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np, jax, jax.numpy as jnp
