@@ -28,26 +28,27 @@ def force(x):
 
 eqs = build(); force(eqs)
 
-for K in (128, 256):
+import itertools
+for K, p1 in itertools.product((128, 256), ("pallas", "pallas_scan")):
     try:
         # warm
-        r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", "pallas")
+        r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", p1)
         force(r)
         best_rref = float("inf"); best_fin = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", "pallas")
+            r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", p1)
             force(r)
             best_rref = min(best_rref, time.perf_counter() - t0)
             t0 = time.perf_counter()
             raw = extract_device.finalize(r, pof, inc, mt_jax.COLS, 0)
             best_fin = min(best_fin, time.perf_counter() - t0)
-        print(f"K={K}: rref={best_rref:.4f}s finalize={best_fin:.4f}s")
+        print(f"K={K} p1={p1}: rref={best_rref:.4f}s finalize={best_fin:.4f}s")
         # phase1 alone
-        r2, _, _ = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "skip", "pallas"); force(r2)
+        r2, _, _ = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "skip", p1); force(r2)
         t0 = time.perf_counter()
-        r2, _, _ = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "skip", "pallas"); force(r2)
-        print(f"K={K}: phase1-only={time.perf_counter()-t0:.4f}s")
+        r2, _, _ = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "skip", p1); force(r2)
+        print(f"K={K} p1={p1}: phase1-only={time.perf_counter()-t0:.4f}s")
     except Exception as e:
-        print(f"K={K}: FAILED {type(e).__name__}: {e}")
+        print(f"K={K} p1={p1}: FAILED {type(e).__name__}: {e}")
         sys.exit(1)

@@ -170,17 +170,21 @@ def rref_blocked(
         b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
 
         if phase1.startswith("pallas"):
-            # whole phase 1 in one kernel invocation (pallas_phase1.py)
-            from .pallas_phase1 import phase1_panel
+            # whole phase 1 in kernel form (pallas_phase1.py): either the
+            # fused single-kernel variant or the split scan+reconstruct one
+            if phase1.startswith("pallas_scan"):
+                from .pallas_phase1 import phase1_panel_split as p1fn
+            else:
+                from .pallas_phase1 import phase1_panel as p1fn
 
-            pf, prow, used_o = phase1_panel(
+            pf, prow, used_o = p1fn(
                 a,
                 b_orig.T,
                 used.astype(jnp.int32)[None, :],
                 w0,
                 K,
                 cols,
-                interpret=(phase1 == "pallas_interpret"),
+                interpret=phase1.endswith("_interpret"),
             )
             used = used_o[0] > 0
             gbit = 32 * w0 + bit_ids
@@ -319,7 +323,7 @@ def _pick_engines(wp: int) -> tuple[str, str]:
     import os
 
     if wp >= 128 and jax.default_backend() == "tpu":
-        p1, p2 = "pallas", "mxu"
+        p1, p2 = "pallas_scan", "mxu"
     else:
         p1, p2 = "jnp", "jnp"
     return (

@@ -213,3 +213,187 @@ def phase1_panel(a, bT, used, w0, K: int, cols: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(jnp.asarray(w0, jnp.int32).reshape(1), bT, used, a)
+
+
+# ---------------------------------------------------------------------------
+# Split phase 1 (the "pallas_scan" engine): the forward scan only needs the
+# thin slice, so run it as a pure-VPU kernel with NO per-pivot HBM DMA and
+# no (K, wp)-wide work; then gather the K pivot rows and their coefficient
+# words with ONE XLA gather each; then reconstruct the full-width pivot rows
+# in a second kernel whose coefficients live in SMEM (scalar reads instead
+# of masked lane reductions).  Removes the two per-pivot latency lumps of
+# the fused kernel above (DMA wait + coefficient lane-extract).
+# ---------------------------------------------------------------------------
+
+
+def _make_scan_kernel(rows: int, K: int, kw: int, cols: int):
+    def kernel(w0_ref, bT_in, used_in, prow_ref, used_ref, cT_ref, bT_ref):
+        w0 = w0_ref[0]
+        lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+
+        bT_ref[:] = bT_in[:]
+        used_ref[:] = used_in[:]
+        cT_ref[:] = jnp.zeros((kw, rows), jnp.uint32)
+
+        def lane_extract(mat, piv):
+            sel = jnp.where(lane_ids == piv, mat.astype(jnp.int32), 0)
+            return jnp.sum(sel, axis=1, keepdims=True).astype(jnp.uint32)
+
+        for sw in range(kw):
+            def p1_step(jj32, _, sw=sw):
+                jj = 32 * sw + jj32
+                gbit = 32 * w0 + jj
+                valid = (gbit >= 1) & (gbit <= cols)
+                shift = jj32.astype(jnp.uint32)
+                colb = (bT_ref[sw : sw + 1, :] >> shift) & 1
+                cand = (colb == 1) & (used_ref[:] == 0) & valid
+                piv = jnp.min(jnp.where(cand, lane_ids, rows))
+                has = piv < rows
+                piv_safe = jnp.where(has, piv, 0)
+                prow_ref[jj] = jnp.where(has, piv, -1)
+
+                bpiv = lane_extract(bT_ref[sw:, :], piv_safe)  # (kw-sw, 1)
+                elim = cand & (lane_ids != piv)
+                elim_mask = jnp.where(
+                    elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                )
+                bT_ref[sw:, :] = bT_ref[sw:, :] ^ (elim_mask & bpiv)
+                cT_ref[sw : sw + 1, :] = cT_ref[sw : sw + 1, :] ^ (
+                    elim_mask & (jnp.uint32(1) << shift)
+                )
+                used_ref[:] = jnp.where(
+                    (lane_ids == piv) & has, jnp.int32(1), used_ref[:]
+                )
+                return 0
+
+            lax.fori_loop(0, 32, p1_step, 0)
+
+    return kernel
+
+
+def _make_reconstruct_kernel(wp: int, K: int, kw: int):
+    def kernel(w0_ref, prow_ref, coeff_ref, arows_in, pf_ref):
+        w0 = w0_ref[0]
+        k_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        pf_ref[:] = jnp.zeros((K, wp), jnp.uint32)
+
+        # forward reconstruction: full[jj] = a[piv_jj] ^ combo(full[:jj])
+        for sw in range(kw):
+            rows_used = 32 * (sw + 1)
+            k_ids_u = k_ids[:rows_used]
+
+            def fwd_step(jj32, _, sw=sw, rows_used=rows_used, k_ids_u=k_ids_u):
+                jj = 32 * sw + jj32
+                has = prow_ref[jj] >= 0
+                word_k = k_ids_u >> 5
+                shift_k = (k_ids_u & 31).astype(jnp.uint32)
+                wsel = jnp.zeros((rows_used, 1), jnp.uint32)
+                for t in range(sw + 1):
+                    wsel = jnp.where(word_k == t, coeff_ref[jj, t], wsel)
+                bits_k = (wsel >> shift_k) & 1
+                mask_k = (jnp.uint32(0) - bits_k).astype(jnp.uint32)
+                x = None
+                for t in range(sw + 1):
+                    xb = pf_ref[32 * t : 32 * (t + 1)] & mask_k[
+                        32 * t : 32 * (t + 1)
+                    ]
+                    n = 32
+                    while n > 1:
+                        half = n // 2
+                        xb = xb[:half] ^ xb[half:n]
+                        n = half
+                    x = xb if x is None else x ^ xb
+                full = arows_in[pl.ds(jj, 1), :] ^ x
+                mask_has = jnp.where(
+                    has, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                )
+                pf_ref[pl.ds(jj, 1), :] = full & mask_has
+                return 0
+
+            lax.fori_loop(0, 32, fwd_step, 0)
+
+        # back-eliminate (triangular, as in _make_kernel)
+        for sw in reversed(range(kw)):
+            rows_used = 32 * (sw + 1)
+            k_ids_u = k_ids[:rows_used]
+            win_lanes = lax.broadcasted_iota(jnp.int32, (rows_used, 128), 1)
+
+            def p1b_step(s, _, sw=sw, rows_used=rows_used, k_ids_u=k_ids_u,
+                         win_lanes=win_lanes):
+                jj32 = 31 - s
+                jj = 32 * sw + jj32
+                pivoted = prow_ref[jj] >= 0
+                wcol = w0 + sw
+                base = pl.multiple_of((wcol >> 7) << 7, 128)
+                lane = wcol - base
+                win = pf_ref[:rows_used, pl.ds(base, 128)]
+                colw = jnp.sum(
+                    jnp.where(win_lanes == lane, win.astype(jnp.int32), 0),
+                    axis=1,
+                    keepdims=True,
+                ).astype(jnp.uint32)
+                colb = (colw >> jj32.astype(jnp.uint32)) & 1
+                elim = (colb == 1) & (k_ids_u != jj) & pivoted
+                elim_mask = jnp.where(
+                    elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                )
+                pfrow = pf_ref[pl.ds(jj, 1), :]
+                pf_ref[:rows_used] = pf_ref[:rows_used] ^ (elim_mask & pfrow)
+                return 0
+
+            lax.fori_loop(0, 32, p1b_step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
+                       interpret: bool = False):
+    """Split-phase-1 drop-in for phase1_panel (same contract).
+
+    a: (rows, wp) u32; bT: (kw, rows); used: (1, rows) i32; w0 scalar word
+    offset.  Returns (pf (K, wp), prow (K,), used' (1, rows))."""
+    rows, wp = a.shape
+    kw = K // 32
+    assert wp % 128 == 0
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+
+    prow, used_o, cT = pl.pallas_call(
+        _make_scan_kernel(rows, K, kw, cols),
+        out_shape=(
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((1, rows), jnp.int32),
+            jax.ShapeDtypeStruct((kw, rows), jnp.uint32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((kw, rows), jnp.uint32)],
+        interpret=interpret,
+    )(w0_arr, bT, used)
+
+    # one batched gather each for the pivot rows and their coefficients
+    prow_safe = jnp.maximum(prow, 0)
+    arows = a[prow_safe]  # (K, wp)
+    coeff = cT[:, prow_safe].T  # (K, kw)
+
+    pf = pl.pallas_call(
+        _make_reconstruct_kernel(wp, K, kw),
+        out_shape=jax.ShapeDtypeStruct((K, wp), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(w0_arr, prow, coeff, arows)
+    return pf, prow, used_o

@@ -115,3 +115,28 @@ def test_mxu_panel_update_trailing_interpret():
     assert np.array_equal(got[:, :128], full[:, :128])  # tile 0: updated
     assert np.array_equal(got[:, 128:256], a[:, 128:256])  # tile 1: skipped
     assert np.array_equal(got[:, 256:], full[:, 256:])  # tile 2: updated
+
+
+def test_blocked_solver_with_pallas_scan_phase1_interpret():
+    """Split scan+reconstruct phase-1 engine must match the oracle."""
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.core import packing
+
+    rng = np.random.default_rng(21)
+    cols = 75
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(150, cols)).astype(np.uint8)
+    coeff[140:] = coeff[:10]  # some dependent rows
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    got = solve_blocked(eqs, cols, 1, phase1="pallas_scan_interpret", phase2="jnp")
+    ref = solve_oracle(eqs, cols)
+    origin, basis = got
+    # canonical RREF: compare origin and basis exactly
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert [packing.words_to_int(b) for b in basis] == [
+        packing.words_to_int(b) for b in ref.basis
+    ]
