@@ -29,7 +29,7 @@ def force(x):
 eqs = build(); force(eqs)
 
 import itertools
-for K, p1 in itertools.product((128, 256), ("pallas", "pallas_scan")):
+for K, p1 in itertools.product((128, 256), ("pallas_scan", "pallas_sub")):
     try:
         # warm
         r, pof, inc = gauss_blocked.rref_blocked(eqs, mt_jax.COLS, K, "mxu", p1)

@@ -164,33 +164,97 @@ def rref_blocked(
         mask = (jnp.uint32(0) - bits).astype(jnp.uint32)  # 0 or all-ones
         return jnp.bitwise_xor.reduce(mat & mask[:, None], axis=0)
 
-    def panel_body(t, carry):
-        a, used, pof = carry
+    interp = phase1.endswith("_interpret")
+
+    def _panel_kernel_full(t, a, used, pof):
+        """Kernel-phase-1 panel pass over ALL rows (fused or split)."""
+        w0 = t * kw
+        b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
+        if phase1.startswith("pallas_scan") or phase1.startswith("pallas_sub"):
+            from .pallas_phase1 import phase1_panel_split as p1fn
+        else:
+            from .pallas_phase1 import phase1_panel as p1fn
+
+        pf, prow, used_o = p1fn(
+            a, b_orig.T, used.astype(jnp.int32)[None, :], w0, K, cols,
+            interpret=interp,
+        )
+        used = used_o[0] > 0
+        gbit = 32 * w0 + bit_ids
+        dst = jnp.where(prow >= 0, gbit - 1, cols)  # dump slot at cols
+        pof = pof.at[dst].set(prow)
+        return _panel_tail(a, b_orig, pf, prow, pof, used, w0)
+
+    def _panel_kernel_subset(t, a, used, pof):
+        """Scan only the first S unused rows (pivot = min global row index,
+        so the subset winner IS the global winner whenever the subset sees
+        the column at all); a post-update deficit check falls back to a
+        full-row pass on the rare structured system that needs it.
+
+        Measured on MT19937-size systems this does NOT beat the full scan —
+        the scan kernel is per-step-latency-bound, not lane-width-bound, and
+        the per-panel compaction/checks cost more than they save — so it is
+        an opt-in engine (GF2BV_TPU_PHASE1=pallas_sub) for workloads with
+        rows >> cols, where the full scan's lane width dominates."""
+        from .pallas_phase1 import SUBSET_ROWS as S
+        from .pallas_phase1 import phase1_scan_subset, phase1_reconstruct
+
         w0 = t * kw
         b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
 
-        if phase1.startswith("pallas"):
-            # whole phase 1 in kernel form (pallas_phase1.py): either the
-            # fused single-kernel variant or the split scan+reconstruct one
-            if phase1.startswith("pallas_scan"):
-                from .pallas_phase1 import phase1_panel_split as p1fn
-            else:
-                from .pallas_phase1 import phase1_panel as p1fn
+        # compact the first S unused row indices (ascending)
+        unused_i = (~used).astype(jnp.int32)
+        slot = jnp.cumsum(unused_i) - 1  # slot of each unused row
+        take = (unused_i == 1) & (slot < S)
+        subset_idx = (
+            jnp.zeros((S,), jnp.int32)
+            .at[jnp.where(take, slot, S)]
+            .set(row_ids, mode="drop")
+        )
+        n_sub = jnp.minimum(slot[-1] + 1, S)
+        bT_c = b_orig[subset_idx].T  # (kw, S)
+        slot_ids = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        used_in = (slot_ids >= n_sub).astype(jnp.int32)  # padding = used
 
-            pf, prow, used_o = p1fn(
-                a,
-                b_orig.T,
-                used.astype(jnp.int32)[None, :],
-                w0,
-                K,
-                cols,
-                interpret=phase1.endswith("_interpret"),
-            )
-            used = used_o[0] > 0
-            gbit = 32 * w0 + bit_ids
-            dst = jnp.where(prow >= 0, gbit - 1, cols)  # dump slot at cols
-            pof = pof.at[dst].set(prow)
-            return _panel_tail(a, b_orig, pf, prow, pof, used, w0)
+        prow_l, cT_c = phase1_scan_subset(bT_c, used_in, w0, K, cols, interp)
+        prow = jnp.where(prow_l >= 0, subset_idx[jnp.maximum(prow_l, 0)], -1)
+        coeff = cT_c[:, jnp.maximum(prow_l, 0)].T  # (K, kw)
+        arows = a[jnp.maximum(prow, 0)]  # (K, wp)
+        pf = phase1_reconstruct(arows, coeff, prow, w0, K, cols, interp)
+
+        used = used | jnp.zeros((rows,), jnp.bool_).at[
+            jnp.where(prow >= 0, prow, rows)
+        ].set(True, mode="drop")
+        gbit = 32 * w0 + bit_ids
+        dst = jnp.where(prow >= 0, gbit - 1, cols)
+        pof = pof.at[dst].set(prow)
+        a, used, pof = _panel_tail(a, b_orig, pf, prow, pof, used, w0)
+
+        # deficit check: a claimed-free column with a live bit in some
+        # unused row means the subset missed a pivot -> full fallback pass
+        valid_bit = (gbit >= 1) & (gbit <= cols)
+        freebit = ((prow < 0) & valid_bit).astype(jnp.uint32) << (
+            bit_ids & 31
+        ).astype(jnp.uint32)
+        freemask = jnp.zeros((kw,), jnp.uint32).at[bit_ids >> 5].add(freebit)
+        b_post = lax.dynamic_slice(a, (0, w0), (rows, kw))
+        live = jnp.any((b_post & freemask[None, :]) != 0, axis=1) & ~used
+        deficit = jnp.any(live)
+        return lax.cond(
+            deficit,
+            lambda ops: _panel_kernel_full(t, *ops),
+            lambda ops: ops,
+            (a, used, pof),
+        )
+
+    def panel_body(t, carry):
+        a, used, pof = carry
+        if phase1.startswith("pallas_sub"):
+            return _panel_kernel_subset(t, a, used, pof)
+        if phase1.startswith("pallas"):
+            return _panel_kernel_full(t, a, used, pof)
+        w0 = t * kw
+        b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
 
         # ---- phase 1: thin forward elimination on the slice ------------
         def p1(jj, c):

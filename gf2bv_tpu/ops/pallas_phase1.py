@@ -346,6 +346,68 @@ def _make_reconstruct_kernel(wp: int, K: int, kw: int):
     return kernel
 
 
+# subset-scan working-set size: K pivots leave >= 512 live candidates at
+# panel end, making a missed pivot (-> fallback pass) vanishingly rare for
+# unstructured systems; lane-aligned (multiple of 128)
+SUBSET_ROWS = 768
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def phase1_scan_subset(bT, used, w0, K: int, cols: int,
+                       interpret: bool = False):
+    """Forward scan only: bT (kw, S) slice, used (1, S).  Returns
+    (prow (K,) local row indices, cT (kw, S) coefficient words)."""
+    kw, s_rows = bT.shape
+    assert K == 32 * kw
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+    prow, used_o, cT = pl.pallas_call(
+        _make_scan_kernel(s_rows, K, kw, cols),
+        out_shape=(
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((1, s_rows), jnp.int32),
+            jax.ShapeDtypeStruct((kw, s_rows), jnp.uint32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((kw, s_rows), jnp.uint32)],
+        interpret=interpret,
+    )(w0_arr, bT, used)
+    del used_o
+    return prow, cT
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def phase1_reconstruct(arows, coeff, prow, w0, K: int, cols: int,
+                       interpret: bool = False):
+    """Full-width pivot-row reconstruction + triangular back pass.
+    arows (K, wp) gathered pivot rows; coeff (K, kw); prow (K,)."""
+    del cols
+    _, wp = arows.shape
+    kw = K // 32
+    assert wp % 128 == 0
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        _make_reconstruct_kernel(wp, K, kw),
+        out_shape=jax.ShapeDtypeStruct((K, wp), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(w0_arr, prow, coeff, arows)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
                        interpret: bool = False):
@@ -383,17 +445,5 @@ def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
     prow_safe = jnp.maximum(prow, 0)
     arows = a[prow_safe]  # (K, wp)
     coeff = cT[:, prow_safe].T  # (K, kw)
-
-    pf = pl.pallas_call(
-        _make_reconstruct_kernel(wp, K, kw),
-        out_shape=jax.ShapeDtypeStruct((K, wp), jnp.uint32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(w0_arr, prow, coeff, arows)
+    pf = phase1_reconstruct(arows, coeff, prow, w0, K, cols, interpret)
     return pf, prow, used_o

@@ -140,3 +140,59 @@ def test_blocked_solver_with_pallas_scan_phase1_interpret():
     assert [packing.words_to_int(b) for b in basis] == [
         packing.words_to_int(b) for b in ref.basis
     ]
+
+
+@pytest.mark.parametrize("seed,rows,cols,dep", [(31, 150, 75, 10), (32, 300, 200, 0)])
+def test_blocked_solver_with_pallas_sub_phase1_interpret(seed, rows, cols, dep):
+    """Subset-scan phase-1 engine (with deficit fallback) vs the oracle."""
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.core import packing
+
+    rng = np.random.default_rng(seed)
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    if dep:
+        coeff[rows - dep :] = coeff[:dep]
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    got = solve_blocked(eqs, cols, 1, phase1="pallas_sub_interpret", phase2="jnp")
+    ref = solve_oracle(eqs, cols)
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert [packing.words_to_int(b) for b in basis] == [
+        packing.words_to_int(b) for b in ref.basis
+    ]
+
+
+def test_blocked_solver_pallas_sub_deficit_fallback_interpret():
+    """Force the subset to miss pivots: > SUBSET_ROWS rows where the first
+    SUBSET_ROWS rows are zero in some columns that later rows cover."""
+    from gf2bv_tpu.ops import pallas_phase1
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.core import packing
+
+    S = pallas_phase1.SUBSET_ROWS
+    rng = np.random.default_rng(99)
+    cols = 40
+    rows = S + 64
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = np.zeros((rows, cols), dtype=np.uint8)
+    # first S+ rows only touch the first 8 columns; the tail rows carry the
+    # rest -> the subset scan cannot pivot columns 8.. until fallback
+    coeff[: S + 32, :8] = rng.integers(0, 2, size=(S + 32, 8))
+    coeff[S + 32 :, :] = rng.integers(0, 2, size=(32, cols))
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    got = solve_blocked(eqs, cols, 1, phase1="pallas_sub_interpret", phase2="jnp")
+    ref = solve_oracle(eqs, cols)
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert [packing.words_to_int(b) for b in basis] == [
+        packing.words_to_int(b) for b in ref.basis
+    ]
