@@ -1,0 +1,53 @@
+"""CRC as an affine GF(2) map, generic over BitVec | int.
+
+New-capability model (no analog in the reference): a CRC over unknown
+message bits is affine in those bits, so "which input bytes produce CRC c?"
+is a LinearSystem workload.  The data-dependent feedback select
+``crc = (crc >> 1) ^ (lsb ? poly : 0)`` is linearized with
+``broadcast(0, w) & poly`` — the same pattern as the reference's
+GaloisLFSR (``/root/reference/gf2bv/crypto/lfsr.py:13-17``).
+
+Bit order: reflected (LSB-first) algorithm, the common form (CRC-32,
+CRC-16/MODBUS, ...).  ``process(data, nbits)`` consumes data bits LSB
+first — for byte strings use ``int.from_bytes(b, "little")``, which lays
+out byte 0's LSB first, matching standard reflected CRCs.
+"""
+
+from __future__ import annotations
+
+from ..core.bitvec import BitVec
+
+
+class ReflectedCRC:
+    def __init__(self, width: int, poly_reversed: int, init: int, xorout: int):
+        self.width = width
+        self.poly = poly_reversed
+        self.init = init
+        self.xorout = xorout
+
+    def process(self, data, nbits: int | None = None):
+        """CRC of ``nbits`` data bits (LSB first).  data: BitVec | int.
+        Returns a width-bit BitVec (symbolic) or int (concrete)."""
+        w = self.width
+        if isinstance(data, BitVec):
+            nbits = len(data)
+        elif nbits is None:
+            raise ValueError("nbits required for concrete int data")
+        crc = self.init
+        for i in range(nbits):
+            if isinstance(data, BitVec):
+                din = data[i].zeroext(w - 1)  # bit i at position 0
+            else:
+                din = (data >> i) & 1
+            fb = (din ^ crc) if isinstance(din, BitVec) else (crc ^ din)
+            if isinstance(fb, BitVec):
+                sel = fb.broadcast(0, w) & self.poly
+            else:
+                sel = self.poly if fb & 1 else 0
+            crc = (fb >> 1) ^ sel
+        return crc ^ self.xorout
+
+
+def CRC32() -> ReflectedCRC:
+    """Standard CRC-32 (zlib/PNG): poly 0x04C11DB7 reflected."""
+    return ReflectedCRC(32, 0xEDB88320, 0xFFFFFFFF, 0xFFFFFFFF)

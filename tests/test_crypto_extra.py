@@ -1,0 +1,110 @@
+"""New-capability crypto models (xorshift family, CRC): concrete behavior
+vs independent oracles, and symbolic state/input recovery round-trips."""
+
+import binascii
+import random
+
+import numpy as np
+import pytest
+
+from gf2bv_tpu import LinearSystem
+from gf2bv_tpu.crypto.crc import CRC32, ReflectedCRC
+from gf2bv_tpu.crypto.xorshift import (
+    Xorshift32,
+    Xorshift64,
+    Xorshift128,
+    Xorshift64star,
+)
+
+
+def test_xorshift32_recovery():
+    rnd = random.Random(1)
+    seed = rnd.getrandbits(32) | 1
+    ref = Xorshift32(seed)
+    outs = [ref() for _ in range(3)]
+
+    lin = LinearSystem([32])
+    (x,) = lin.gens()
+    sym = Xorshift32(x)
+    zeros = [sym() ^ o for o in outs]
+    (rec,) = lin.solve_one(zeros)
+    assert rec == seed
+
+
+def test_xorshift64_recovery():
+    rnd = random.Random(2)
+    seed = rnd.getrandbits(64) | 1
+    ref = Xorshift64(seed)
+    outs = [ref() for _ in range(2)]
+
+    lin = LinearSystem([64])
+    (x,) = lin.gens()
+    sym = Xorshift64(x)
+    zeros = [sym() ^ o for o in outs]
+    (rec,) = lin.solve_one(zeros)
+    assert rec == seed
+
+
+def test_xorshift128_recovery_from_partial_outputs():
+    rnd = random.Random(3)
+    seed = [rnd.getrandbits(32) for _ in range(4)]
+    ref = Xorshift128(list(seed))
+    # only the high 16 bits of each output -> needs more samples
+    outs = [ref() >> 16 for _ in range(12)]
+
+    lin = LinearSystem([32] * 4)
+    sym = Xorshift128(list(lin.gens()))
+    zeros = [(sym() >> 16) ^ o for o in outs]
+    rec = lin.solve_one(zeros)
+    assert rec is not None
+    rep = Xorshift128(list(rec))
+    assert all(rep() >> 16 == o for o in outs)
+    assert list(rec) == seed
+
+
+def test_xorshift64star_untemper_roundtrip_and_recovery():
+    rnd = random.Random(4)
+    seed = rnd.getrandbits(64) | 1
+    ref = Xorshift64star(seed)
+    outs = [ref() for _ in range(2)]
+    assert all(
+        Xorshift64star.temper(Xorshift64star.untemper(o)) == o for o in outs
+    )
+
+    lin = LinearSystem([64])
+    (x,) = lin.gens()
+    sym = Xorshift64star(x)
+    zeros = [sym.step() ^ Xorshift64star.untemper(o) for o in outs]
+    (rec,) = lin.solve_one(zeros)
+    assert rec == seed
+
+
+@pytest.mark.parametrize("data", [b"", b"123456789", b"hello gf2bv", b"\x00" * 7])
+def test_crc32_concrete_matches_zlib(data):
+    crc = CRC32()
+    got = crc.process(int.from_bytes(data, "little"), 8 * len(data))
+    assert got == binascii.crc32(data)
+
+
+def test_crc32_symbolic_is_affine_and_recovers_input():
+    """Find the 4 unknown bytes x such that crc32(prefix + x) == target."""
+    prefix = b"gf2bv_tpu:"
+    secret = b"\xde\xad\xbe\xef"
+    target = binascii.crc32(prefix + secret)
+
+    lin = LinearSystem([32])
+    (x,) = lin.gens()
+    # full message bits: prefix (known) followed by the 4 unknown bytes
+    pref_int = int.from_bytes(prefix, "little")
+    msg = x.lshift_ext(8 * len(prefix)) ^ pref_int
+    sym = CRC32().process(msg)
+    rec = lin.solve_one([sym ^ target])
+    assert rec is not None
+    assert rec[0].to_bytes(4, "little") == secret
+
+
+def test_crc16_modbus_concrete():
+    # CRC-16/MODBUS: poly 0x8005 reflected = 0xA001, init 0xFFFF, xorout 0
+    crc = ReflectedCRC(16, 0xA001, 0xFFFF, 0x0000)
+    got = crc.process(int.from_bytes(b"123456789", "little"), 72)
+    assert got == 0x4B37  # published check value
