@@ -1,0 +1,31 @@
+"""True multi-process validation: 2 jax.distributed processes x 4 virtual
+CPU devices each solve one row-sharded system over 8 global devices with
+Gloo collectives (the CPU stand-in for ICI/DCN; SURVEY.md §4 multi-host
+strategy).  Subprocess-based because jax.distributed is per-process."""
+
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_two_process_rowsharded_solve():
+    worker = REPO / "scripts" / "multihost_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2"],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed: {err[-2000:]}"
+        assert "OK (2 processes, 8 devices)" in out
