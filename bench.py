@@ -98,6 +98,25 @@ def bench_mt19937(bs: int = 32):
     log(f"generate system (device trace, warm): {trace_s:.3f}s")
     log(f"solve_one (warm): {solve_s:.3f}s")
 
+    # pipelined throughput: N builds+solves in flight before one readback —
+    # amortizes the dev-tunnel dispatch/readback RTT, i.e. the rate a real
+    # host would sustain
+    npipe = 8
+    phase1, phase2 = gauss_blocked._pick_engines(eqs.shape[1])
+    t0 = time.perf_counter()
+    results = []
+    for _ in range(npipe):
+        e = build()
+        results.append(
+            gauss_blocked.rref_origin_blocked(
+                e, mt_jax.COLS, gauss_blocked.K_PANEL, phase2, phase1
+            )[0]
+        )
+    for r in results:
+        _ = np.asarray(r[:1])
+    pipe_s = (time.perf_counter() - t0) / npipe
+    log(f"pipelined build+solve: {pipe_s:.3f}s/solve ({1 / pipe_s:.2f} solves/s)")
+
     # correctness: reference-style round trip
     s = packing.words_to_int(raw)
     sol = []
@@ -109,14 +128,14 @@ def bench_mt19937(bs: int = 32):
     assert all(rng2.getrandbits(bs) == o for o in out)
     log("round-trip verified")
 
-    return solve_s, trace_s
+    return solve_s, trace_s, pipe_s
 
 
 def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    solve_s, trace_s = bench_mt19937()
+    solve_s, trace_s, pipe_s = bench_mt19937()
     print(
         json.dumps(
             {
@@ -126,6 +145,7 @@ def main():
                 "vs_baseline": round(M4RI_BASELINE_EST_S / solve_s, 3),
                 "detail": {
                     "trace_s": round(trace_s, 4),
+                    "pipelined_solves_per_s": round(1 / pipe_s, 2),
                     "baseline": "M4RI single-core estimate 2.0s (BASELINE.md; reference publishes no numbers)",
                     "vs_native_engine_9.4s": round(
                         NATIVE_ENGINE_MEASURED_S / solve_s, 2
