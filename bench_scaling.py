@@ -104,9 +104,50 @@ def bench_rowsharded(rows=4096, cols=2048):
     )
 
 
+
+
+def bench_enumeration(dim=20, cols=256):
+    """On-device affine-space enumeration rate (replaces the reference's
+    sequential Gray-code iterator, _internal.c:61-175)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gf2bv_tpu.ops.enumerate import enumerate_points
+
+    rng = np.random.default_rng(2)
+    w32 = -(-cols // 32)
+    origin = jnp.asarray(rng.integers(0, 2**32, w32, dtype=np.uint32))
+    basis = jnp.asarray(rng.integers(0, 2**32, (dim, w32), dtype=np.uint32))
+    chunk = 65536
+    total = 1 << dim
+    out = enumerate_points(origin, basis, jnp.uint32(0), chunk, True)
+    _ = np.asarray(out[0, :1])  # warm + force
+    t0 = time.perf_counter()
+    outs = [
+        enumerate_points(origin, basis, jnp.uint32(s), chunk, True)
+        for s in range(0, total, chunk)
+    ]
+    for o in outs:
+        _ = np.asarray(o[0, :1])
+    dt = time.perf_counter() - t0
+    rate = total / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"affine_enumeration_points_per_s_dim{dim}",
+                "value": round(rate),
+                "unit": "points/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import jax
 
     log(f"devices: {jax.devices()}")
     bench_batched()
     bench_rowsharded()
+    bench_enumeration()
