@@ -82,6 +82,17 @@ def rref_device(a: jnp.ndarray, cols: int):
     return a, pof, inconsistent
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def rref_origin_device(a: jnp.ndarray, cols: int):
+    """Fused RREF + mode-0 extraction: one dispatch, tiny outputs
+    (origin32, inconsistent) — the small-system analog of
+    gauss_blocked.rref_origin_blocked."""
+    from . import extract_device
+
+    rref32, pof, inconsistent = rref_device(a, cols)
+    return extract_device.origin_device(rref32, pof, cols), inconsistent
+
+
 def solve_jax(eqs: np.ndarray, cols: int, mode: int):
     """Solve a packed (rows, W64) uint64 system over ``cols`` variables.
 
@@ -92,5 +103,12 @@ def solve_jax(eqs: np.ndarray, cols: int, mode: int):
     from . import extract_device
 
     a32 = _pad_rows(np.ascontiguousarray(packing.to_u32(eqs)), cols)
+    if mode == 0:
+        origin32, inconsistent = jax.device_get(
+            rref_origin_device(jnp.asarray(a32), cols)
+        )
+        if bool(inconsistent):
+            return None
+        return packing.from_u32(origin32[None, :])[0]
     rref32, pof, inconsistent = rref_device(jnp.asarray(a32), cols)
     return extract_device.finalize(rref32, pof, inconsistent, cols, mode)
