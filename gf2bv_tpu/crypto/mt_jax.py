@@ -75,13 +75,21 @@ def _temper(y: jnp.ndarray) -> jnp.ndarray:
 def mt19937_system_device(outs: jnp.ndarray, bs: int, samples: int):
     """Packed equation matrix for MT19937 recovery, built on device.
 
-    outs: (samples,) uint32 — the observed getrandbits(bs) values, bs <= 32.
+    outs: the observed getrandbits(bs) values — (samples,) uint32 for
+    bs <= 32, or (samples, ceil(bs/32)) uint32 word-split (LSB-first words)
+    for larger bs (CPython's multi-word getrandbits, ref mt.py:62-81: every
+    word contributes its TOP min(k_left, 32) bits, concatenated LSB-first).
     Returns (rows, wp) uint32: ``samples*bs`` output equations followed by
     the 32 known-MSB equations mt[0] ^ 0x80000000 (examples/mt.py:33).
     """
-    assert 1 <= bs <= 32
+    assert bs >= 1
     wp = _wp()
-    epochs = -(-samples // N)
+    wpc = -(-bs // 32)  # words per getrandbits call
+    total_words = samples * wpc
+    epochs = -(-total_words // N)
+    if outs.ndim == 1:
+        outs = outs[:, None]
+    assert outs.shape == (samples, wpc)
 
     # initial symbolic state: S[i, b] has packed bit (1 + 32 i + b) set
     pos = 1 + 32 * lax.broadcasted_iota(jnp.int32, (N, W, 1), 0) + (
@@ -124,14 +132,23 @@ def mt19937_system_device(outs: jnp.ndarray, bs: int, samples: int):
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             state = twist_chunk(state, lo, hi)
         blocks.append(_temper(state))
-    tempered = jnp.concatenate(blocks, axis=0)[:samples]  # (samples, 32, wp)
+    tempered = jnp.concatenate(blocks, axis=0)[:total_words]  # (tw, 32, wp)
 
-    # top-bs bits of each word, LSB-first within the output value
-    out_rows = tempered[:, W - bs :, :].reshape(samples * bs, wp)
+    # value bit b of call c comes from tempered word c*wpc + b//32, bit-row
+    # (32 - nb) + (b % 32), where nb is the bit count that word contributes
+    # (32 for all but the last word of a call; bs - 32*(wpc-1) for the last)
+    e = np.arange(samples * bs)
+    c = e // bs
+    b = e % bs
+    j = b // 32
+    t = b % 32
+    nb = np.where(j < wpc - 1, 32, bs - 32 * (wpc - 1))
+    flat_row = (c * wpc + j) * 32 + (32 - nb) + t
+    out_rows = tempered.reshape(total_words * 32, wp)[flat_row]
     # XOR the observed constant into the affine column (packed bit 0)
-    obit = (outs[:, None] >> lax.broadcasted_iota(jnp.uint32, (1, bs), 1)) & 1
+    obit = (outs[c, j] >> t.astype(jnp.uint32)) & 1
     const = jnp.zeros((samples * bs, wp), jnp.uint32)
-    const = const.at[:, 0].set(obit.reshape(-1))
+    const = const.at[:, 0].set(obit)
     eqs = out_rows ^ const
 
     # known-MSB equations: mt[0] ^ 0x80000000
@@ -156,7 +173,15 @@ def solve_mt19937(outs, bs: int = 32, samples: int | None = None, mode: int = 0)
 
     if samples is None:
         samples = len(outs)
-    outs32 = jnp.asarray(np.asarray(outs, dtype=np.uint32))
+    wpc = -(-bs // 32)
+    if wpc == 1:
+        outs32 = jnp.asarray(np.asarray(outs, dtype=np.uint32))
+    else:  # split multi-word values LSB-first
+        arr = np.zeros((len(outs), wpc), np.uint32)
+        for i, v in enumerate(outs):
+            for j in range(wpc):
+                arr[i, j] = (int(v) >> (32 * j)) & 0xFFFFFFFF
+        outs32 = jnp.asarray(arr)
     eqs = mt19937_system_device(outs32, bs, samples)
     rows = eqs.shape[0]
     want = -(-rows // 256) * 256

@@ -14,7 +14,9 @@ from gf2bv_tpu.crypto.mt import MT19937
 from gf2bv_tpu.crypto import mt_jax
 
 
-@pytest.mark.parametrize("bs,samples", [(32, 624), (17, 1174), (9, 2218), (1, 1000)])
+@pytest.mark.parametrize(
+    "bs,samples", [(32, 624), (17, 1174), (9, 2218), (1, 1000), (1337, 14), (137, 100)]
+)
 def test_device_system_matches_host_trace(bs, samples):
     rand = random.Random(3142)
     out = [rand.getrandbits(bs) for _ in range(samples)]
@@ -25,9 +27,16 @@ def test_device_system_matches_host_trace(bs, samples):
     zeros = [rng.getrandbits(bs) ^ o for o in out] + [mt[0] ^ 0x80000000]
     host_eqs32 = packing.to_u32(lin.get_eqs_packed(zeros))
 
-    dev = np.asarray(mt_jax.mt19937_system_device(
-        jnp.asarray(np.asarray(out, dtype=np.uint32)), bs, samples
-    ))
+    wpc = -(-bs // 32)
+    if wpc == 1:
+        outs32 = jnp.asarray(np.asarray(out, dtype=np.uint32))
+    else:
+        arr = np.zeros((samples, wpc), np.uint32)
+        for i, v in enumerate(out):
+            for j in range(wpc):
+                arr[i, j] = (v >> (32 * j)) & 0xFFFFFFFF
+        outs32 = jnp.asarray(arr)
+    dev = np.asarray(mt_jax.mt19937_system_device(outs32, bs, samples))
     # host trace drops all-zero rows; device keeps them — compare nonzero rows
     # in order (row order is otherwise identical by construction)
     devnz = dev[dev.any(axis=1)]
