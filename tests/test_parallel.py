@@ -112,3 +112,35 @@ def test_system_solve_all_batch():
     assert sorted(s for (s,) in gens[0]) == [2, 6, 10, 14, 18, 22, 26, 30, 34, 38, 42, 46, 50, 54, 58, 62]
     assert list(gens[1]) == [(5,)]
     assert gens[2] is None
+
+
+def test_quadratic_solve_batch():
+    """Batched per-guess quadratic subsystems (the nlfsr_ex pattern)."""
+    import numpy as np
+
+    from gf2bv_tpu import QuadraticSystem
+
+    n = 6
+    rng = np.random.default_rng(23)
+    secret = int(rng.integers(1, 1 << n))
+    sbits = [(secret >> i) & 1 for i in range(n)]
+
+    qsys = QuadraticSystem([n])
+    (x,) = qsys.gens()
+    base = []
+    for i in range(n):
+        for j in range(i):
+            base.append(qsys.mul_bit(x[i], x[j]) ^ (sbits[i] & sbits[j]))
+    base.append((x >> 1) ^ (secret >> 1))  # leave bit 0 unknown
+    # guess bit 0 both ways; exactly one guess must solve to the secret
+    batches = [base + qsys.bit_assert(x[0], b) for b in (0, 1)]
+    out = qsys.solve_all_batch(batches, max_dimension=16)
+    sols = []
+    for gen in out:
+        if gen is None:
+            sols.append(None)
+            continue
+        got = [s for s in gen]
+        sols.append(got[0] if got else None)
+    matching = [s for s in sols if s is not None and s[0] == secret]
+    assert matching, sols
