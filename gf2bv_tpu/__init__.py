@@ -25,6 +25,20 @@ from .core.system import (
 
 __version__ = "0.1.0"
 
+
+def m4ri_solve(equations, cols: int, mode: int):
+    """Low-level compat shim for the reference's native entry point
+    (``/root/reference/gf2bv/_internal.pyi:18-23``): equations are big-int
+    masks (bit 0 = const, bits 1..cols = variables); mode 0 returns one
+    solution int (or None), mode 1 the AffineSpace (or None).  Solved on
+    the default device."""
+    from .core import packing
+    from .ops import solver
+
+    eqs = packing.ints_to_rows(list(equations), 1 + cols)
+    return solver.solve(eqs, cols, mode)
+
+
 __all__ = [
     "AffineSpace",
     "BitVec",
@@ -32,4 +46,5 @@ __all__ = [
     "LinearSystem",
     "QuadraticSystem",
     "Zeros",
+    "m4ri_solve",
 ]

@@ -66,8 +66,9 @@ class AffineSpace:
         return packing.words_to_int(self._origin)
 
     @property
-    def basis(self) -> tuple[int, ...]:
-        return tuple(packing.rows_to_ints(self._basis))
+    def basis(self) -> list[int]:
+        # list, as the reference returns (_internal.pyi:13)
+        return list(packing.rows_to_ints(self._basis))
 
     def get(self, n: int) -> int:
         """origin XOR basis rows selected by the binary bits of n."""

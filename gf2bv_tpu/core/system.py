@@ -190,7 +190,12 @@ class LinearSystem:
         a, b = self.get_mat_numpy(zeros)
         return matrix(GF(2), a), vector(GF(2), b)
 
-    get_sage_mat_slow = get_sage_mat
+    def get_sage_mat_slow(self, zeros: Zeros, *, tqdm=lambda x, desc: x):
+        """Drop-in for the reference's slow path (ref :167-192); the packed
+        build makes it as fast as get_sage_mat, the tqdm hook is accepted
+        for signature compatibility."""
+        del tqdm
+        return self.get_sage_mat(zeros)
 
 
 class QuadraticSystem(LinearSystem):

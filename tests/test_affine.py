@@ -23,7 +23,7 @@ def test_properties():
     sp = mk_space(5, basis)
     assert sp.dimension == 2
     assert sp.origin == 5
-    assert sp.basis == (0b11, 1 << 65)
+    assert sp.basis == [0b11, 1 << 65]  # list, as the reference returns
     assert sp.size == 4
     assert bool(sp)  # truthiness must not overflow for large dims
 

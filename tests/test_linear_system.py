@@ -113,3 +113,24 @@ def test_get_mat_numpy():
     assert a.shape == (4, 4)
     assert np.array_equal(a, np.eye(4, dtype=np.uint8))
     assert list(b) == [1, 0, 1, 0]
+
+
+def test_m4ri_solve_compat_shim():
+    """Top-level m4ri_solve accepts big-int equation masks like the
+    reference's native entry (_internal.pyi:18-23)."""
+    import gf2bv_tpu
+
+    # x0 ^ x1 = 1, x1 = 1  ->  x = 0b10 ... wait bits: const=bit0
+    # eq1: bits x1(bit1) ^ x2(bit2) ^ const(1) -> mask 0b111? Use LinearSystem to build
+    lin = gf2bv_tpu.LinearSystem([4])
+    (x,) = lin.gens()
+    secret = 0b1011
+    zeros = [x ^ secret]
+    eqs = lin.get_eqs(zeros)
+    sol = gf2bv_tpu.m4ri_solve(eqs, 4, 0)
+    assert sol == secret
+    space = gf2bv_tpu.m4ri_solve(eqs, 4, 1)
+    assert space.dimension == 0 and space.origin == secret
+    assert isinstance(space.basis, list)
+    # unsat
+    assert gf2bv_tpu.m4ri_solve([0b10 | 1, 0b10], 1, 0) is None
