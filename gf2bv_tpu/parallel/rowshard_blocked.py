@@ -181,8 +181,25 @@ def rref_rowsharded_blocked(
     return fn(a)
 
 
+def _pick_phase2(wp: int) -> str:
+    """MXU kernel inside shard_map when on TPU with lane-aligned width
+    (measured 9x faster than the jnp xor-reduce at 2048 cols)."""
+    import os
+
+    if "GF2BV_TPU_PHASE2" in os.environ:
+        return os.environ["GF2BV_TPU_PHASE2"]
+    if wp % 128 == 0 and jax.default_backend() == "tpu":
+        return "mxu"
+    return "jnp"
+
+
 def solve_rowsharded_blocked(
-    eqs: np.ndarray, cols: int, mode: int, mesh, k_panel: int = 128
+    eqs: np.ndarray,
+    cols: int,
+    mode: int,
+    mesh,
+    k_panel: int = 128,
+    phase2: str | None = None,
 ):
     """Drop-in replacement for rowshard.solve_rowsharded (same contract),
     using the panel-blocked kernel."""
@@ -192,12 +209,19 @@ def solve_rowsharded_blocked(
     kw = k_panel // 32
     a32 = np.ascontiguousarray(packing.to_u32(eqs))
     rows, w32 = a32.shape
-    want_rows = max(naxis, -(-rows // naxis) * naxis)
     want_w = -(-w32 // kw) * kw
+    if jax.default_backend() == "tpu":
+        # mxu tiling wants lane-aligned width and 256-row local blocks
+        want_w = -(-want_w // 128) * 128
+        row_align = 256 * naxis
+    else:
+        row_align = naxis
+    want_rows = max(row_align, -(-rows // row_align) * row_align)
     if want_rows != rows or want_w != w32:
         out = np.zeros((want_rows, want_w), np.uint32)
         out[:rows, :w32] = a32
         a32 = out
-    rref32, pof = rref_rowsharded_blocked(a32, cols, mesh, k_panel)
+    phase2 = phase2 or _pick_phase2(a32.shape[1])
+    rref32, pof = rref_rowsharded_blocked(a32, cols, mesh, k_panel, phase2)
     inconsistent = extract_device.inconsistent_device(rref32)
     return extract_device.finalize(rref32, pof, inconsistent, cols, mode)
