@@ -61,6 +61,43 @@ def rref_bits(mat: np.ndarray) -> tuple[np.ndarray, list[int]]:
     return a, pivots
 
 
+def rref_packed(eqs: np.ndarray, nbits: int) -> tuple[np.ndarray, list[int]]:
+    """Gauss-Jordan on the PACKED (rows, W64) uint64 matrix.
+
+    Same algorithm as rref_bits, 64 bit-columns per word instead of one
+    uint8 per bit — still plain sequential numpy (independent of the device
+    solvers), but feasible at MT19937 size (~8 TB of uint8 traffic becomes
+    ~0.5 TB of packed traffic).
+    """
+    a = np.ascontiguousarray(eqs).copy()
+    rows = a.shape[0]
+    pivots: list[int] = []
+    r = 0
+    for c in range(1, nbits):
+        if r >= rows:
+            break
+        w, s = c >> 6, np.uint64(c & 63)
+        col = (a[r:, w] >> s) & np.uint64(1)
+        nz = np.nonzero(col)[0]
+        if nz.size == 0:
+            continue
+        p = r + nz[0]
+        if p != r:
+            a[[r, p]] = a[[p, r]]
+        colall = (a[:, w] >> s) & np.uint64(1)
+        colall[r] = 0
+        idx = np.nonzero(colall)[0]
+        a[idx] ^= a[r]
+        pivots.append(c)
+        r += 1
+    return a, pivots
+
+
+# above this many packed bits, the uint8 oracle's memory traffic becomes
+# impractical (rows x nbits bytes PER PIVOT); switch to the packed variant
+_PACKED_ORACLE_BITS = 4096
+
+
 def solve_oracle(eqs: np.ndarray, cols: int) -> RefSolution:
     """Solve a packed (rows, W64) system over ``cols`` variables.
 
@@ -68,20 +105,32 @@ def solve_oracle(eqs: np.ndarray, cols: int) -> RefSolution:
     basis (one vector per free column, ordered by column index).
     """
     nbits = 1 + cols
-    bits = packing.unpack_rows(eqs, nbits)
-    rref, pivots = rref_bits(bits)
-    rank = len(pivots)
-
-    # Inconsistent iff some row is 1 = 0 (only the constant bit set).
-    if rank < rref.shape[0]:
-        tail = rref[rank:]
-        if np.any(tail[:, 0] & (tail[:, 1:].sum(axis=1) == 0)):
-            return RefSolution(False, rank, None, None, None)
+    if nbits > _PACKED_ORACLE_BITS:
+        rref_p, pivots = rref_packed(eqs, nbits)
+        rank = len(pivots)
+        if rank < rref_p.shape[0]:
+            tail = rref_p[rank:]
+            const = (tail[:, 0] & np.uint64(1)) == 1
+            rest = (tail[:, 0] >> np.uint64(1)) != 0
+            if tail.shape[1] > 1:
+                rest = rest | tail[:, 1:].any(axis=1)
+            if np.any(const & ~rest):
+                return RefSolution(False, rank, None, None, None)
+        pivot_rows = rref_p[:rank]
+    else:
+        bits = packing.unpack_rows(eqs, nbits)
+        rref, pivots = rref_bits(bits)
+        rank = len(pivots)
+        # Inconsistent iff some row is 1 = 0 (only the constant bit set).
+        if rank < rref.shape[0]:
+            tail = rref[rank:]
+            if np.any(tail[:, 0] & (tail[:, 1:].sum(axis=1) == 0)):
+                return RefSolution(False, rank, None, None, None)
+        pivot_rows = packing.pack_bits(rref[:rank], nbits)
     pivot_cols = np.asarray(pivots, dtype=np.int64)
 
     from . import extract
 
-    pivot_rows = packing.pack_bits(rref[:rank], nbits)
     origin = extract.build_origin(pivot_rows, pivot_cols, cols)
     basis = extract.build_basis(pivot_rows, pivot_cols, cols)
     return RefSolution(True, rank, origin, basis, pivot_cols)

@@ -151,3 +151,20 @@ def test_env_backend_override(monkeypatch):
     one = solver.solve(eqs, 1500, 0)
     ref = solve_oracle(eqs, 1500)
     assert one == packing.words_to_int(ref.origin)
+
+
+def test_packed_oracle_matches_uint8_oracle():
+    """The large-system packed oracle path must agree with the uint8 one."""
+    from gf2bv_tpu.ops import gauss_ref
+
+    rng = np.random.default_rng(77)
+    for deficit, unsat in [(0, False), (4, False), (0, True)]:
+        eqs, _ = random_system(rng, 120, 90, rank_deficit=deficit, inconsistent=unsat)
+        ref8 = gauss_ref.solve_oracle(eqs, 90)
+        rref_p, piv_p = gauss_ref.rref_packed(eqs, 91)
+        bits = packing.unpack_rows(eqs, 91)
+        rref_8, piv_8 = gauss_ref.rref_bits(bits)
+        assert piv_p == piv_8
+        assert np.array_equal(
+            packing.unpack_rows(rref_p, 91), rref_8
+        )
