@@ -151,7 +151,10 @@ def bench_mt19937(bs: int = 32):
         t0 = time.perf_counter()
         res = solve_many(outs_b)
         _ = np.asarray(res[0, :1])
-        chain_s = (time.perf_counter() - t0 - 0.03) / nchain  # subtract RTT
+        elapsed = time.perf_counter() - t0
+        # subtract the ~30 ms readback RTT, but never go nonpositive (on a
+        # real host there is no tunnel RTT to subtract)
+        chain_s = max(elapsed - 0.03, elapsed * 0.25) / nchain
         log(
             f"device-chained trace+solve: {chain_s:.3f}s/solve "
             f"({1 / chain_s:.2f} solves/s/chip, RTT excluded)"

@@ -30,7 +30,10 @@ class ReflectedCRC:
         Returns a width-bit BitVec (symbolic) or int (concrete)."""
         w = self.width
         if isinstance(data, BitVec):
-            nbits = len(data)
+            if nbits is None:
+                nbits = len(data)
+            elif nbits > len(data):
+                raise ValueError("nbits exceeds the BitVec width")
         elif nbits is None:
             raise ValueError("nbits required for concrete int data")
         crc = self.init

@@ -352,15 +352,10 @@ def _make_reconstruct_kernel(wp: int, K: int, kw: int):
 SUBSET_ROWS = 768
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def phase1_scan_subset(bT, used, w0, K: int, cols: int,
-                       interpret: bool = False):
-    """Forward scan only: bT (kw, S) slice, used (1, S).  Returns
-    (prow (K,) local row indices, cT (kw, S) coefficient words)."""
+def _call_scan_kernel(bT, used, w0_arr, K: int, cols: int, interpret: bool):
+    """One scan-kernel invocation (shared by the full and subset engines)."""
     kw, s_rows = bT.shape
-    assert K == 32 * kw
-    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
-    prow, used_o, cT = pl.pallas_call(
+    return pl.pallas_call(
         _make_scan_kernel(s_rows, K, kw, cols),
         out_shape=(
             jax.ShapeDtypeStruct((K,), jnp.int32),
@@ -380,6 +375,17 @@ def phase1_scan_subset(bT, used, w0, K: int, cols: int,
         scratch_shapes=[pltpu.VMEM((kw, s_rows), jnp.uint32)],
         interpret=interpret,
     )(w0_arr, bT, used)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def phase1_scan_subset(bT, used, w0, K: int, cols: int,
+                       interpret: bool = False):
+    """Forward scan only: bT (kw, S) slice, used (1, S).  Returns
+    (prow (K,) local row indices, cT (kw, S) coefficient words)."""
+    kw, s_rows = bT.shape
+    assert K == 32 * kw
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+    prow, used_o, cT = _call_scan_kernel(bT, used, w0_arr, K, cols, interpret)
     del used_o
     return prow, cT
 
@@ -419,27 +425,7 @@ def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
     kw = K // 32
     assert wp % 128 == 0
     w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
-
-    prow, used_o, cT = pl.pallas_call(
-        _make_scan_kernel(rows, K, kw, cols),
-        out_shape=(
-            jax.ShapeDtypeStruct((K,), jnp.int32),
-            jax.ShapeDtypeStruct((1, rows), jnp.int32),
-            jax.ShapeDtypeStruct((kw, rows), jnp.uint32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((kw, rows), jnp.uint32)],
-        interpret=interpret,
-    )(w0_arr, bT, used)
+    prow, used_o, cT = _call_scan_kernel(bT, used, w0_arr, K, cols, interpret)
 
     # one batched gather each for the pivot rows and their coefficients
     prow_safe = jnp.maximum(prow, 0)

@@ -40,8 +40,8 @@ def _panel_update_kernel(sel_ref, pf_ref, a_ref, out_ref):
     out_ref[:] = acc
 
 
-def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
-    """GF(2) rank-K update as 32 bit-plane matmuls on the MXU.
+def _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref):
+    """Shared MXU update body: 32 bit-plane matmuls, parity, repack, XOR.
 
     selbits: (TR, K) int8 0/1; pfbits: (32, K, TW) int8 — bit-plane-major
     unpacked pivot rows; int8 x int8 -> int32 accumulation is exact and runs
@@ -55,6 +55,11 @@ def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
         )
         packed = packed | ((counts & 1) << b)
     out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
+
+
+def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
+    """GF(2) rank-K update as 32 bit-plane matmuls on the MXU."""
+    _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
 
 
 # numpy constant: safe to close over inside traced functions (a cached jnp
@@ -95,13 +100,7 @@ def _mxu_kernel_trailing(w0_ref, selbits_ref, pfbits_ref, a_ref, out_ref):
 
     @pl.when(~skip)
     def _compute():
-        packed = jnp.zeros_like(a_ref[:], dtype=jnp.int32)
-        for b in range(32):
-            counts = jnp.dot(
-                selbits_ref[:], pfbits_ref[b], preferred_element_type=jnp.int32
-            )
-            packed = packed | ((counts & 1) << b)
-        out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
+        _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
 
 
 def panel_update_mxu(a, sel, pf, *, interpret: bool = False, w0=None):

@@ -85,9 +85,17 @@ def _build(mesh, cols: int):
     return jax.jit(fn)
 
 
+def _mesh_key(mesh):
+    """Value-based cache key: id() can be reused after a mesh is GC'd."""
+    return (
+        tuple(sorted(mesh.shape.items())),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def rref_rowsharded(a32: np.ndarray, cols: int, mesh):
     """Sharded RREF. a32: (rows, W32) uint32, rows % mesh rows-axis == 0."""
-    key = (id(mesh), cols)
+    key = (_mesh_key(mesh), cols)
     fn = _kernel_cache.get(key)
     if fn is None:
         fn = _kernel_cache[key] = _build(mesh, cols)

@@ -48,6 +48,14 @@ _BIG = np.int32(2**30)
 _kernel_cache: dict = {}
 
 
+def _mesh_key(mesh):
+    """Value-based cache key: id() can be reused after a mesh is GC'd."""
+    return (
+        tuple(sorted(mesh.shape.items())),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def _build(mesh, cols: int, k_panel: int, phase2: str):
     K = k_panel
     kw = K // 32
@@ -172,7 +180,7 @@ def rref_rowsharded_blocked(
 ):
     """Sharded blocked RREF.  a32: (rows, W32) u32; rows % rows-axis == 0 and
     W32 % (k_panel//32) == 0 are the caller's responsibility (see solve)."""
-    key = (id(mesh), cols, k_panel, phase2)
+    key = (_mesh_key(mesh), cols, k_panel, phase2)
     fn = _kernel_cache.get(key)
     if fn is None:
         fn = _kernel_cache[key] = _build(mesh, cols, k_panel, phase2)

@@ -5,11 +5,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = int(sys.argv[3]) if len(sys.argv) > 3 else 17731
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="localhost:17731", num_processes=nproc, process_id=pid
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
 )
 import numpy as np
 from gf2bv_tpu.core import packing

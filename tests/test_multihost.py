@@ -4,17 +4,25 @@ Gloo collectives (the CPU stand-in for ICI/DCN; SURVEY.md §4 multi-host
 strategy).  Subprocess-based because jax.distributed is per-process."""
 
 import pathlib
+import socket
 import subprocess
 import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_rowsharded_solve():
     worker = REPO / "scripts" / "multihost_worker.py"
+    port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), "2"],
+            [sys.executable, str(worker), str(pid), "2", port],
             cwd=REPO,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,

@@ -196,3 +196,45 @@ def test_blocked_solver_pallas_sub_deficit_fallback_interpret():
     assert [packing.words_to_int(b) for b in basis] == [
         packing.words_to_int(b) for b in ref.basis
     ]
+
+
+def test_trailing_solve_e2e_interpret():
+    """End-to-end mode-0 solve through rref_origin_blocked with the trailing
+    MXU kernel actually SKIPPING tiles (needs > 2 tiles of width), checked
+    against the oracle; plus the unsat verdict through the verification."""
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops import gauss_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+
+    import jax.numpy as jnp
+
+    cols = 12300  # wp pads to 512 words -> later panels skip tiles 1..2
+    rows = 320
+    rng = np.random.default_rng(3)
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    a32 = gauss_blocked._pad(eqs, cols, 256, word_align=128)
+    origin32, unsat = gauss_blocked.rref_origin_blocked(
+        jnp.asarray(a32), cols, 256, "mxu_interpret", "jnp"
+    )
+    assert not bool(unsat)
+    ref = solve_oracle(eqs, cols)
+    got = packing.words_to_int(
+        packing.from_u32(np.asarray(origin32)[None, :])[0]
+    )
+    assert got == packing.words_to_int(ref.origin)
+
+    # unsat variant: duplicate a row with flipped RHS
+    bits2 = bits.copy()
+    bits2[-1] = bits2[0]
+    bits2[-1, 0] ^= 1
+    eqs2 = packing.pack_bits(bits2, 1 + cols)
+    a32 = gauss_blocked._pad(eqs2, cols, 256, word_align=128)
+    _, unsat2 = gauss_blocked.rref_origin_blocked(
+        jnp.asarray(a32), cols, 256, "mxu_interpret", "jnp"
+    )
+    assert bool(unsat2)
