@@ -121,11 +121,13 @@ def bench_enumeration(dim=20, cols=256):
     basis = jnp.asarray(rng.integers(0, 2**32, (dim, w32), dtype=np.uint32))
     chunk = 65536
     total = 1 << dim
-    out = enumerate_points(origin, basis, jnp.uint32(0), chunk, True)
+    out = enumerate_points(origin, basis, jnp.uint32(0), jnp.uint32(0), chunk, True)
     _ = np.asarray(out[0, :1])  # warm + force
     t0 = time.perf_counter()
     outs = [
-        enumerate_points(origin, basis, jnp.uint32(s), chunk, True)
+        enumerate_points(
+            origin, basis, jnp.uint32(s & 0xFFFFFFFF), jnp.uint32(s >> 32), chunk, True
+        )
         for s in range(0, total, chunk)
     ]
     for o in outs:

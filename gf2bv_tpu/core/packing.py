@@ -134,3 +134,21 @@ def popcount_words(words: np.ndarray) -> np.ndarray:
 def parity_rows(rows: np.ndarray) -> np.ndarray:
     """GF(2) parity (XOR of all bits) per row of a (n, W) uint64 matrix."""
     return (popcount_words(rows).sum(axis=-1) & 1).astype(np.uint8)
+
+
+def pad2d(
+    a32: np.ndarray, row_align: int = 1, word_align: int = 1, min_rows: int = 0
+) -> np.ndarray:
+    """Zero-pad a (rows, W32) uint32 matrix so rows is a multiple of
+    ``row_align`` (and >= min_rows) and the word count a multiple of
+    ``word_align``.  Zero rows/columns are inert in every solver (they never
+    pivot and never contribute bits); the single padding helper keeps the
+    alignment rules of all solver entries in one place."""
+    rows, w32 = a32.shape
+    want_rows = max(min_rows, row_align, -(-rows // row_align) * row_align)
+    want_w = -(-w32 // word_align) * word_align
+    if want_rows == rows and want_w == w32:
+        return np.ascontiguousarray(a32)
+    out = np.zeros((want_rows, want_w), dtype=np.uint32)
+    out[:rows, :w32] = a32
+    return out

@@ -23,25 +23,40 @@ from jax import lax
 from ..core import packing
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(4, 5))
 def enumerate_points(
     origin: jnp.ndarray,  # (W32,) uint32
     basis: jnp.ndarray,  # (dim, W32) uint32
-    start: jnp.ndarray,  # () uint32/int — chunk start index
+    start_lo: jnp.ndarray,  # () uint32 — chunk start index, low 32 bits
+    start_hi: jnp.ndarray,  # () uint32 — high 32 bits (dim can exceed 32)
     count: int,
     gray: bool,
 ):
-    """points[i] = origin ^ combo(bits(order(start+i))) for i < count."""
+    """points[i] = origin ^ combo(bits(order(start+i))) for i < count.
+
+    TPU has no native 64-bit integers, so the enumeration index is carried
+    as a (hi, lo) uint32 pair — dims up to 64 enumerate correctly (the
+    reference's Gray range, ``_internal.c:101-122``)."""
     dim = basis.shape[0]
-    idx = start.astype(jnp.uint32) + lax.broadcasted_iota(
-        jnp.uint32, (count, 1), 0
-    ).squeeze(-1)
+    assert dim <= 64, "use the host iterator beyond 64 dims"
+    i = lax.broadcasted_iota(jnp.uint32, (count, 1), 0).squeeze(-1)
+    lo = start_lo.astype(jnp.uint32) + i
+    carry = (lo < i).astype(jnp.uint32)  # uint32 wraparound
+    hi = start_hi.astype(jnp.uint32) + carry
     if gray:
-        idx = idx ^ (idx >> jnp.uint32(1))
+        glo = lo ^ ((lo >> jnp.uint32(1)) | (hi << jnp.uint32(31)))
+        ghi = hi ^ (hi >> jnp.uint32(1))
+        lo, hi = glo, ghi
     out = jnp.broadcast_to(origin, (count, origin.shape[0]))
     if dim == 0:
         return out
-    sel = (idx[:, None] >> jnp.arange(dim, dtype=jnp.uint32)[None, :]) & 1
+    jlow = jnp.arange(min(dim, 32), dtype=jnp.uint32)
+    sel = (lo[:, None] >> jlow[None, :]) & 1
+    if dim > 32:
+        jhigh = jnp.arange(dim - 32, dtype=jnp.uint32)
+        sel = jnp.concatenate(
+            [sel, (hi[:, None] >> jhigh[None, :]) & 1], axis=1
+        )
     mask = (jnp.uint32(0) - sel).astype(jnp.uint32)  # (count, dim)
     # xor-reduce over dim: (count, dim, 1) & (1, dim, W32) -> (count, W32)
     delta = jnp.bitwise_xor.reduce(
@@ -68,12 +83,19 @@ def quad_consistency_mask(points: jnp.ndarray, n: int):
 
 
 def enumerate_device(space, start: int, count: int):
-    """Device-side chunk of ``space`` in its canonical iteration order."""
+    """Device-side chunk of ``space`` in its canonical iteration order.
+    Spaces beyond 64 dims must use the host iterator (their canonical order
+    is the naive bigint counter anyway)."""
     gray = space.dimension <= 64
     origin32 = jnp.asarray(packing.to_u32(space._origin[None, :])[0])
     basis32 = jnp.asarray(packing.to_u32(space._basis))
     return enumerate_points(
-        origin32, basis32, jnp.uint32(start), count, gray
+        origin32,
+        basis32,
+        jnp.uint32(start & 0xFFFFFFFF),
+        jnp.uint32(start >> 32),
+        count,
+        gray,
     )
 
 

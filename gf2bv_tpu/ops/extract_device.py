@@ -166,11 +166,16 @@ def finalize(rref32, pof, inconsistent, cols: int, mode: int):
     rref32/pof/inconsistent are device arrays from an rref kernel.  Returns
     None, packed origin (W64 host array), or (origin, basis).
     """
-    if bool(inconsistent):  # tiny scalar readback
+    import jax
+
+    # dispatch the origin build BEFORE the inconsistency readback so both
+    # land in one device_get (each separate readback costs a full RTT)
+    origin32, pof_h, inc = jax.device_get(
+        (origin_device(rref32, pof, cols), pof, inconsistent)
+    )
+    if bool(inc):
         return None
-    origin32 = np.asarray(origin_device(rref32, pof, cols))
     origin = packing.from_u32(origin32[None, :])[0]
     if mode == 0:
         return origin
-    pof_h = np.asarray(pof)  # (cols,) int32 — small
     return origin, _basis_host_orchestrated(rref32, pof_h, cols)

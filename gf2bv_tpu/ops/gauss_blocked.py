@@ -324,12 +324,9 @@ def rref_blocked(
     a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
     pof = pof[:cols]
 
-    const_bit = (a[:, 0] & 1) == 1
-    var_any = (a[:, 0] >> 1) != 0
-    if wp > 1:
-        var_any = var_any | jnp.any(a[:, 1:] != 0, axis=1)
-    inconsistent = jnp.any(const_bit & ~var_any)
-    return a, pof, inconsistent
+    from . import extract_device
+
+    return a, pof, extract_device.inconsistent_device(a)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -370,15 +367,13 @@ def rref_origin_blocked(
     return origin32, unsat
 
 
-def _pad(eqs: np.ndarray, cols: int, k_panel: int, word_align: int = 1):
-    a32 = np.ascontiguousarray(packing.to_u32(eqs))
-    rows, w32 = a32.shape
-    align = max(k_panel // 32, word_align)
-    wp = -(-w32 // align) * align
-    want_rows = max(_ROW_BUCKET, -(-rows // _ROW_BUCKET) * _ROW_BUCKET)
-    out = np.zeros((want_rows, wp), dtype=np.uint32)
-    out[:rows, :w32] = a32
-    return out
+def _pad(eqs: np.ndarray, k_panel: int, word_align: int = 1):
+    a32 = packing.to_u32(eqs)
+    return packing.pad2d(
+        a32,
+        row_align=_ROW_BUCKET,
+        word_align=max(k_panel // 32, word_align),
+    )
 
 
 def _pick_engines(wp: int) -> tuple[str, str]:
@@ -386,7 +381,7 @@ def _pick_engines(wp: int) -> tuple[str, str]:
     small systems / other backends use the jnp paths."""
     import os
 
-    if wp >= 128 and jax.default_backend() == "tpu":
+    if wp % 128 == 0 and jax.default_backend() == "tpu":
         p1, p2 = "pallas_scan", "mxu"
     else:
         p1, p2 = "jnp", "jnp"
@@ -409,7 +404,7 @@ def solve_blocked(
     from ..utils import profiling
 
     with profiling.phase("pad"):
-        a32 = _pad(eqs, cols, k_panel, word_align=128)
+        a32 = _pad(eqs, k_panel, word_align=128)
     auto1, auto2 = _pick_engines(a32.shape[1])
     phase1 = phase1 or auto1
     phase2 = phase2 or auto2

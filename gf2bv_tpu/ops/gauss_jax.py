@@ -31,13 +31,8 @@ _ROW_BUCKET = 256  # pad row counts to multiples of this to bound recompiles
 
 
 def _pad_rows(a32: np.ndarray, cols: int) -> np.ndarray:
-    rows = a32.shape[0]
-    want = max(_ROW_BUCKET, -(-rows // _ROW_BUCKET) * _ROW_BUCKET)
-    if want == rows:
-        return a32
-    return np.concatenate(
-        [a32, np.zeros((want - rows, a32.shape[1]), dtype=np.uint32)], axis=0
-    )
+    del cols
+    return packing.pad2d(a32, row_align=_ROW_BUCKET)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -73,13 +68,9 @@ def rref_device(a: jnp.ndarray, cols: int):
 
     a, used, pof = lax.fori_loop(0, cols, step, (a, used0, pof0))
 
-    # Inconsistent iff any row has all variable bits 0 but the const bit 1.
-    const_bit = (a[:, 0] & 1) == 1
-    var_any = (a[:, 0] >> 1) != 0
-    if nw > 1:
-        var_any = var_any | jnp.any(a[:, 1:] != 0, axis=1)
-    inconsistent = jnp.any(const_bit & ~var_any)
-    return a, pof, inconsistent
+    from . import extract_device
+
+    return a, pof, extract_device.inconsistent_device(a)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

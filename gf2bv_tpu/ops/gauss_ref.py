@@ -98,11 +98,13 @@ def rref_packed(eqs: np.ndarray, nbits: int) -> tuple[np.ndarray, list[int]]:
 _PACKED_ORACLE_BITS = 4096
 
 
-def solve_oracle(eqs: np.ndarray, cols: int) -> RefSolution:
+def solve_oracle(eqs: np.ndarray, cols: int, mode: int = 1) -> RefSolution:
     """Solve a packed (rows, W64) system over ``cols`` variables.
 
     Returns origin with free variables = 0 and the canonical RREF kernel
-    basis (one vector per free column, ordered by column index).
+    basis (one vector per free column, ordered by column index).  mode 0
+    skips the basis build (returns basis=None) — on large low-rank systems
+    the basis is the dominant cost and mode-0 callers throw it away.
     """
     nbits = 1 + cols
     if nbits > _PACKED_ORACLE_BITS:
@@ -132,5 +134,7 @@ def solve_oracle(eqs: np.ndarray, cols: int) -> RefSolution:
     from . import extract
 
     origin = extract.build_origin(pivot_rows, pivot_cols, cols)
-    basis = extract.build_basis(pivot_rows, pivot_cols, cols)
+    basis = (
+        extract.build_basis(pivot_rows, pivot_cols, cols) if mode == 1 else None
+    )
     return RefSolution(True, rank, origin, basis, pivot_cols)

@@ -51,7 +51,7 @@ def _solve(eqs: np.ndarray, cols: int, mode: int, backend: str):
     if backend == "oracle":
         from .gauss_ref import solve_oracle
 
-        res = solve_oracle(eqs, cols)
+        res = solve_oracle(eqs, cols, mode)
         if not res.consistent:
             return None
         raw = (res.origin, res.basis)

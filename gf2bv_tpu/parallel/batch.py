@@ -72,9 +72,13 @@ def solve_batch(
 
     from ..ops import extract_device
 
-    return extract_device.finalize_batch(rref32, pof, inconsistent, cols, mode)[
-        : len(eq_mats)
-    ]
+    # Slice the mesh-padding instances off BEFORE extraction: an all-zero
+    # padding system has dim == cols, and mode-1 basis extraction for it
+    # would compile/run a cols-sized bucket purely for throwaway results.
+    n = len(eq_mats)
+    return extract_device.finalize_batch(
+        rref32[:n], pof[:n], inconsistent[:n], cols, mode
+    )
 
 
 def solve_batch_systems(system, zeros_batch, mode: int = 0, mesh=None):

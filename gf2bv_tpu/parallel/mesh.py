@@ -44,6 +44,15 @@ def make_mesh(
     return Mesh(devs, (BATCH_AXIS, ROWS_AXIS))
 
 
+def _mesh_key(mesh: Mesh):
+    """Value-based cache key for per-mesh compiled kernels: id() can be
+    reused after a mesh is garbage-collected."""
+    return (
+        tuple(sorted(mesh.shape.items())),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(BATCH_AXIS, None, None))
 

@@ -25,6 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import packing
 from . import mesh as meshlib
+from .mesh import _mesh_key
 
 try:  # JAX >= 0.8 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -36,8 +37,6 @@ _kernel_cache: dict = {}
 
 
 def _build(mesh, cols: int):
-    naxis = mesh.shape[meshlib.ROWS_AXIS]
-
     def kernel(a):
         """a: (rloc, W32) local row block."""
         rloc = a.shape[0]
@@ -85,14 +84,6 @@ def _build(mesh, cols: int):
     return jax.jit(fn)
 
 
-def _mesh_key(mesh):
-    """Value-based cache key: id() can be reused after a mesh is GC'd."""
-    return (
-        tuple(sorted(mesh.shape.items())),
-        tuple(d.id for d in mesh.devices.flat),
-    )
-
-
 def rref_rowsharded(a32: np.ndarray, cols: int, mesh):
     """Sharded RREF. a32: (rows, W32) uint32, rows % mesh rows-axis == 0."""
     key = (_mesh_key(mesh), cols)
@@ -109,13 +100,7 @@ def solve_rowsharded(eqs: np.ndarray, cols: int, mode: int, mesh):
     from ..ops import extract_device
 
     naxis = mesh.shape[meshlib.ROWS_AXIS]
-    a32 = np.ascontiguousarray(packing.to_u32(eqs))
-    rows = a32.shape[0]
-    want = max(naxis, -(-rows // naxis) * naxis)
-    if want != rows:
-        a32 = np.concatenate(
-            [a32, np.zeros((want - rows, a32.shape[1]), np.uint32)], axis=0
-        )
+    a32 = packing.pad2d(packing.to_u32(eqs), row_align=naxis)
     rref32, pof = rref_rowsharded(a32, cols, mesh)
     inconsistent = extract_device.inconsistent_device(rref32)
     return extract_device.finalize(rref32, pof, inconsistent, cols, mode)

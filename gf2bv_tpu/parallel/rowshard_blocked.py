@@ -38,6 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core import packing
 from ..ops.gauss_blocked import apply_rank_k_update, selector_from_prow
 from . import mesh as meshlib
+from .mesh import _mesh_key
 
 try:  # JAX >= 0.8 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -46,14 +47,6 @@ except AttributeError:  # pragma: no cover
 
 _BIG = np.int32(2**30)
 _kernel_cache: dict = {}
-
-
-def _mesh_key(mesh):
-    """Value-based cache key: id() can be reused after a mesh is GC'd."""
-    return (
-        tuple(sorted(mesh.shape.items())),
-        tuple(d.id for d in mesh.devices.flat),
-    )
 
 
 def _build(mesh, cols: int, k_panel: int, phase2: str):
@@ -215,20 +208,14 @@ def solve_rowsharded_blocked(
 
     naxis = mesh.shape[meshlib.ROWS_AXIS]
     kw = k_panel // 32
-    a32 = np.ascontiguousarray(packing.to_u32(eqs))
-    rows, w32 = a32.shape
-    want_w = -(-w32 // kw) * kw
     if jax.default_backend() == "tpu":
         # mxu tiling wants lane-aligned width and 256-row local blocks
-        want_w = -(-want_w // 128) * 128
-        row_align = 256 * naxis
+        word_align, row_align = 128 if (128 % kw == 0) else kw * 128, 256 * naxis
     else:
-        row_align = naxis
-    want_rows = max(row_align, -(-rows // row_align) * row_align)
-    if want_rows != rows or want_w != w32:
-        out = np.zeros((want_rows, want_w), np.uint32)
-        out[:rows, :w32] = a32
-        a32 = out
+        word_align, row_align = kw, naxis
+    a32 = packing.pad2d(
+        packing.to_u32(eqs), row_align=row_align, word_align=max(kw, word_align)
+    )
     phase2 = phase2 or _pick_phase2(a32.shape[1])
     rref32, pof = rref_rowsharded_blocked(a32, cols, mesh, k_panel, phase2)
     inconsistent = extract_device.inconsistent_device(rref32)

@@ -85,3 +85,27 @@ def test_iter_quad_filtered_equals_host_filter():
         if qsys._check_lin_match_quad(s & ((1 << n) - 1), s >> n)
     ]
     assert got == want
+
+
+def test_enumerate_device_dim_over_32():
+    """Selector bits beyond 32 must come from the high index word (uint32
+    shifts >= 32 are undefined in XLA); checked against the host iterator."""
+    import numpy as np
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.core.affine import AffineSpace
+    from gf2bv_tpu.ops.enumerate import enumerate_device
+
+    rng = np.random.default_rng(40)
+    cols, dim = 80, 40
+    origin = packing.pack_bits(rng.integers(0, 2, (1, cols)).astype(np.uint8), cols)[0]
+    basis = packing.pack_bits(rng.integers(0, 2, (dim, cols)).astype(np.uint8), cols)
+    space = AffineSpace(origin, basis, cols)
+
+    # a window straddling index 2**33 exercises both high selector bits and
+    # the 64-bit start split
+    start, count = (1 << 33) - 8, 16
+    got = np.asarray(enumerate_device(space, start, count))
+    want = packing.to_u32(space.enumerate_packed(start, count, gray=True))
+    assert np.array_equal(got[:, : want.shape[1]], want)
+    assert not got[:, want.shape[1]:].any()

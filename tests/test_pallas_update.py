@@ -217,7 +217,7 @@ def test_trailing_solve_e2e_interpret():
     bits = np.concatenate([rhs[:, None], coeff], axis=1)
     eqs = packing.pack_bits(bits, 1 + cols)
 
-    a32 = gauss_blocked._pad(eqs, cols, 256, word_align=128)
+    a32 = gauss_blocked._pad(eqs, 256, word_align=128)
     origin32, unsat = gauss_blocked.rref_origin_blocked(
         jnp.asarray(a32), cols, 256, "mxu_interpret", "jnp"
     )
@@ -233,7 +233,7 @@ def test_trailing_solve_e2e_interpret():
     bits2[-1] = bits2[0]
     bits2[-1, 0] ^= 1
     eqs2 = packing.pack_bits(bits2, 1 + cols)
-    a32 = gauss_blocked._pad(eqs2, cols, 256, word_align=128)
+    a32 = gauss_blocked._pad(eqs2, 256, word_align=128)
     _, unsat2 = gauss_blocked.rref_origin_blocked(
         jnp.asarray(a32), cols, 256, "mxu_interpret", "jnp"
     )
