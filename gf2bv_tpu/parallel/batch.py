@@ -56,9 +56,21 @@ def solve_batch(
 
     Returns a list with one entry per system: None (unsatisfiable), a packed
     origin (mode 0), or an (origin, basis) pair (mode 1).
+
+    The vmapped kernel is the per-pivot one (cols sequential full-matrix
+    passes per instance) — the right shape for the many-small-systems
+    pattern this axis exists for.  Above the blocked-solver threshold the
+    per-pivot form is pathological, so wide systems are routed through the
+    panel-blocked solver one at a time instead (each solve is fast; the
+    batch is just a host loop).
     """
     if not eq_mats:
         return []
+    from ..ops import solver
+    from ..ops.gauss_blocked import solve_blocked
+
+    if cols >= solver._BLOCKED_THRESHOLD:
+        return [solve_blocked(m, cols, mode) for m in eq_mats]
     a = pack_batch(eq_mats, cols)
     if mesh is not None:
         # pad batch to a multiple of the mesh batch axis

@@ -144,3 +144,29 @@ def test_quadratic_solve_batch():
         sols.append(got[0] if got else None)
     matching = [s for s in sols if s is not None and s[0] == secret]
     assert matching, sols
+
+
+def test_solve_batch_wide_systems_route_to_blocked():
+    """Above the blocked threshold, batched solves go through the panel
+    solver per instance with the same return contract."""
+    import numpy as np
+
+    from gf2bv_tpu.core import packing as pk
+    from gf2bv_tpu.parallel.batch import solve_batch
+
+    rng = np.random.default_rng(31)
+    cols = 1100  # >= _BLOCKED_THRESHOLD
+    mats, secrets = [], []
+    for _ in range(3):
+        secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+        coeff = rng.integers(0, 2, size=(cols + 32, cols)).astype(np.uint8)
+        rhs = (coeff @ secret) % 2
+        mats.append(
+            pk.pack_bits(np.concatenate([rhs[:, None], coeff], axis=1), 1 + cols)
+        )
+        secrets.append(pk.pack_bits(secret[None, :], cols)[0])
+    res0 = solve_batch(mats, cols, 0)
+    assert all(np.array_equal(r, s) for r, s in zip(res0, secrets))
+    res1 = solve_batch(mats, cols, 1)
+    for (origin, basis), s in zip(res1, secrets):
+        assert np.array_equal(origin, s) and basis.shape[0] == 0
