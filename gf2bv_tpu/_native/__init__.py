@@ -1,5 +1,9 @@
 """ctypes loader for the native host engine (native.c).
 
+Plays the role of the reference's C extension + libm4ri on hosts without a
+TPU (``/root/reference/gf2bv/_internal.c:359-502`` / ``setup.py:55-73``) —
+a from-scratch M4R-family engine, no m4ri code.
+
 Builds the shared library on demand (single-file gcc compile, cached next to
 the source keyed by mtime) and exposes numpy-friendly wrappers.  Everything
 degrades gracefully: ``lib()`` returns None if no compiler is available and

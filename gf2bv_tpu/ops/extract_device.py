@@ -1,5 +1,9 @@
 """On-device solution extraction: never read the RREF matrix back.
 
+Produces the outputs of the reference's ``m4ri_solve`` modes — base
+solution and kernel/affine basis (``/root/reference/gf2bv/_internal.c:
+436-501``) — from the RREF, on device.
+
 Through this machine's TPU tunnel, D2H runs at single-digit MB/s, so pulling
 the ~100 MB reduced matrix to the host (the v1 approach) costs seconds —
 more than the elimination itself.  Production PCIe is faster but the lesson

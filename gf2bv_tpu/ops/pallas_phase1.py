@@ -1,5 +1,9 @@
 """Pallas kernel for the blocked solver's phase 1 (thin panel elimination).
 
+Together with pallas_update.py this replaces the reference's native
+factorization path (``/root/reference/gf2bv/_internal.c:309-502``: PLUQ +
+kernel-basis reuse) with a TPU-shaped PLE.
+
 The jnp phase 1 runs 2*K tiny dependent steps per panel through the XLA
 fori_loop machinery — tens of µs of fixed per-step overhead dominate the
 ~1 µs of useful work, costing seconds over the 19969 pivots of an MT19937

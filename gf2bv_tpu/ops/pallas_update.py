@@ -1,5 +1,9 @@
 """Pallas TPU kernel for the blocked solver's rank-K panel update.
 
+The TPU replacement for libm4ri's elimination engine (the reference links
+it for its PLUQ, ``/root/reference/setup.py:55-73``); here the bulk of the
+elimination is a rank-K GF(2) update driven as MXU matmuls.
+
 Computes ``a[i] ^= XOR_{jj: sel[i] bit jj} pf[jj]`` — the phase-2 bulk of
 gauss_blocked.py — with the A tile, selector tile and the whole PF panel
 resident in VMEM, so the matrix is streamed from HBM exactly once per panel

@@ -1,5 +1,9 @@
 """Row-sharded Gauss-Jordan: one huge system across many chips.
 
+Multi-chip replacement for the reference's single-core ``m4ri_solve``
+(``/root/reference/gf2bv/_internal.c:359-502``); the reference has no
+distribution layer at all (SURVEY.md §2).
+
 The multi-chip analog of M4RI's single-core PLUQ: the packed matrix is
 block-sharded by rows over the ``rows`` mesh axis with ``shard_map``; each
 pivot step does a local candidate argmax, a global winner election
