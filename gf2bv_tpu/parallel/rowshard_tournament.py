@@ -1,0 +1,174 @@
+"""Tournament-pivoting row-sharded elimination: ONE collective per panel.
+
+The panel-blocked sharded solver (rowshard_blocked.py) still pays two
+latency-bound collectives per PIVOT (pmin election + psum row broadcast) —
+~2K collective rounds per panel dominate a pod-scale solve.  This module
+reduces communication to one ``all_gather`` per PANEL:
+
+1. every shard runs the single-chip panel phase 1 on its local row block
+   (ops/pallas_phase1.phase1_panel_split — a pure-local kernel), producing
+   up to K full-width local pivot rows for the panel columns;
+2. the K-row candidate panels are all-gathered (K·wp words, one round);
+3. every shard runs the SAME phase-1 kernel again on the replicated
+   (N·K, wp) stacked candidates, yielding the merged panel pivot rows;
+4. the rank-K bulk update is entirely local, exactly as in
+   rowshard_blocked.
+
+Exactness: the gathered candidates are full-width row-space combinations,
+so the merged RREF rows are row-space vectors with identity on the panel's
+pivot columns and zeros on all earlier pivot columns — the final matrix is
+the unique global RREF, bit-identical to the single-chip solver (tested).
+Candidate spans are preserved by local elimination, so no pivot can be
+missed: rank(union of local candidate spans) = rank of the panel globally.
+
+Communication per panel: one all_gather of K·wp words (+ 2K small ids)
+versus 2K scalar/row collectives — the collective-latency term drops from
+O(cols) rounds to O(cols/K).  Replaces the reference's single-core PLUQ
+(``/root/reference/gf2bv/_internal.c:359-502``) at pod scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import packing
+from ..ops.gauss_blocked import apply_rank_k_update, selector_from_prow
+from . import mesh as meshlib
+from .mesh import _mesh_key
+
+try:  # JAX >= 0.8 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+_kernel_cache: dict = {}
+
+
+def _build(mesh, cols: int, k_panel: int, phase2: str, interpret: bool):
+    from ..ops.pallas_phase1 import phase1_panel_split
+
+    K = k_panel
+    kw = K // 32
+    naxis = mesh.shape[meshlib.ROWS_AXIS]
+
+    def kernel(a):
+        """a: (rloc, wp) local row block; wp % 128 == 0 (kernel tiling)."""
+        rloc, wp = a.shape
+        panels = wp // kw
+        ax = lax.axis_index(meshlib.ROWS_AXIS).astype(jnp.int32)
+        offset = ax * rloc
+        bit_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+        used0 = jnp.zeros((rloc,), jnp.bool_)
+        pof0 = jnp.full((cols + 1,), -1, jnp.int32)  # +1 dump slot
+
+        def panel_body(t, carry):
+            a, used, pof = carry
+            w0 = t * kw
+            b_orig = lax.dynamic_slice(a, (0, w0), (rloc, kw))
+
+            # 1) local phase 1: candidate pivot rows for the panel columns
+            pf_l, prow_l, _ = phase1_panel_split(
+                a, b_orig.T, used.astype(jnp.int32)[None, :], w0, K, cols,
+                interpret=interpret,
+            )
+
+            # 2) ONE collective: gather every shard's candidates
+            stacked = lax.all_gather(pf_l, meshlib.ROWS_AXIS).reshape(
+                naxis * K, wp
+            )
+            grow = lax.all_gather(
+                jnp.where(prow_l >= 0, prow_l + offset, -1), meshlib.ROWS_AXIS
+            ).reshape(naxis * K)
+
+            # 3) merged phase 1 on the replicated stacked candidates
+            sb = lax.dynamic_slice(stacked, (0, w0), (naxis * K, kw))
+            s_used = (grow < 0).astype(jnp.int32)[None, :]  # invalid = used
+            pf, prow_s, _ = phase1_panel_split(
+                stacked, sb.T, s_used, w0, K, cols, interpret=interpret
+            )
+
+            # map merged pivots (stacked indices) back to global/local rows
+            prow_safe = jnp.maximum(prow_s, 0)
+            gpiv = jnp.where(prow_s >= 0, grow[prow_safe], -1)
+            owned = (prow_s >= 0) & (gpiv >= offset) & (gpiv < offset + rloc)
+            local_idx = jnp.where(owned, gpiv - offset, 0)
+
+            used = used | jnp.zeros((rloc,), jnp.bool_).at[
+                jnp.where(owned, local_idx, rloc)
+            ].set(True, mode="drop")
+            gbit = 32 * w0 + bit_ids
+            dst = jnp.where(prow_s >= 0, gbit - 1, cols)
+            pof = pof.at[dst].set(gpiv)
+
+            # 4) rank-K bulk update — entirely local
+            s = selector_from_prow(b_orig, gpiv, owned=owned, local_idx=local_idx)
+            a = apply_rank_k_update(a, s, pf, phase2)
+            return a, used, pof
+
+        a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
+        return a, pof[:cols]
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=P(meshlib.ROWS_AXIS, None),
+        out_specs=(P(meshlib.ROWS_AXIS, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def rref_rowsharded_tournament(
+    a32: np.ndarray,
+    cols: int,
+    mesh,
+    k_panel: int = 128,
+    phase2: str = "jnp",
+    interpret: bool = False,
+):
+    """Sharded tournament RREF; rows % (256 * rows-axis) == 0 and
+    W32 % 128 == 0 are the caller's responsibility (see solve)."""
+    key = (_mesh_key(mesh), cols, k_panel, phase2, interpret)
+    fn = _kernel_cache.get(key)
+    if fn is None:
+        fn = _kernel_cache[key] = _build(mesh, cols, k_panel, phase2, interpret)
+    sharding = NamedSharding(mesh, P(meshlib.ROWS_AXIS, None))
+    return fn(jax.device_put(a32, sharding))
+
+
+def solve_rowsharded_tournament(
+    eqs: np.ndarray,
+    cols: int,
+    mode: int,
+    mesh,
+    k_panel: int = 128,
+    phase2: str | None = None,
+    interpret: bool | None = None,
+):
+    """Drop-in for rowshard_blocked.solve_rowsharded_blocked with
+    one-collective-per-panel communication."""
+    from ..ops import extract_device
+    from .rowshard_blocked import _pick_phase2
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    naxis = mesh.shape[meshlib.ROWS_AXIS]
+    kw = k_panel // 32
+    # the phase-1 kernels need lane-aligned width and 8-aligned local rows;
+    # pad local blocks to 256 rows like the single-chip solver
+    a32 = packing.pad2d(
+        packing.to_u32(eqs),
+        row_align=256 * naxis,
+        word_align=max(kw, 128),
+    )
+    phase2 = phase2 or _pick_phase2(a32.shape[1])
+    rref32, pof = rref_rowsharded_tournament(
+        a32, cols, mesh, k_panel, phase2, interpret
+    )
+    inconsistent = extract_device.inconsistent_device(rref32)
+    return extract_device.finalize(rref32, pof, inconsistent, cols, mode)
