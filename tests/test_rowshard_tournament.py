@@ -63,3 +63,17 @@ def test_tournament_cross_shard_pivots(mesh_rows):
     origin, basis = sharded
     assert packing.words_to_int(origin) == single.origin
     assert packing.rows_to_ints(basis) == list(single.basis)
+
+
+def test_solve_sharded_facade(mesh_rows):
+    from gf2bv_tpu.parallel import solve_sharded
+
+    rng = np.random.default_rng(12)
+    eqs, _ = random_system(rng, 64, 48)
+    want = solver.solve(eqs, 48, 0, backend="oracle")
+    got = solve_sharded(eqs, 48, 0, mesh_rows, k_panel=64)
+    assert packing.words_to_int(got) == want
+    # single-device rows axis routes to the blocked kernel
+    mesh1 = meshlib.make_mesh(batch=8, rows=1)
+    got1 = solve_sharded(eqs, 48, 0, mesh1, k_panel=64)
+    assert packing.words_to_int(got1) == want
