@@ -17,6 +17,7 @@ from gf2bv_tpu.core import packing
 from gf2bv_tpu.ops import solver
 from gf2bv_tpu.parallel import mesh as meshlib
 from gf2bv_tpu.parallel.rowshard_blocked import solve_rowsharded_blocked
+from gf2bv_tpu.parallel.rowshard_tournament import solve_rowsharded_tournament
 
 assert jax.device_count() == 4 * nproc, jax.devices()
 cols = 96
@@ -28,7 +29,9 @@ bits = np.concatenate([rhs[:, None], coeff], axis=1)
 eqs = packing.pack_bits(bits, 1 + cols)
 
 mesh = meshlib.make_mesh(batch=1, rows=jax.device_count())
-got = solve_rowsharded_blocked(eqs, cols, 0, mesh, k_panel=64)
 want = solver.solve(eqs, cols, 0, backend="oracle")
+got = solve_rowsharded_blocked(eqs, cols, 0, mesh, k_panel=64)
 assert packing.words_to_int(got) == want, "multi-process sharded solve mismatch"
+got_t = solve_rowsharded_tournament(eqs, cols, 0, mesh, k_panel=64)
+assert packing.words_to_int(got_t) == want, "multi-process tournament mismatch"
 print(f"proc {pid}: OK ({jax.process_count()} processes, {jax.device_count()} devices)", flush=True)
