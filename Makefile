@@ -1,4 +1,4 @@
-.PHONY: test native bench bench-scaling clean
+.PHONY: test native bench bench-scaling verify clean
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,14 @@ bench:
 
 bench-scaling:
 	python bench_scaling.py
+
+# full local verification: suite + driver entry points + smoke examples
+verify: test
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "\
+	import jax; jax.config.update('jax_platforms', 'cpu'); \
+	import __graft_entry__ as g; fn, a = g.entry(); jax.jit(fn)(*a); \
+	g.dryrun_multichip(8); print('graft entry + dryrun OK')"
+	python examples/simple.py >/dev/null && echo examples/simple OK
 
 clean:
 	rm -f gf2bv_tpu/_native/libgf2native.so
