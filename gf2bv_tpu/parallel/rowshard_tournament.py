@@ -49,16 +49,23 @@ except AttributeError:  # pragma: no cover
 _kernel_cache: dict = {}
 
 
-def _build(mesh, cols: int, k_panel: int, phase2: str, interpret: bool):
+def _build(
+    mesh,
+    cols: int,
+    k_panel: int,
+    phase2: str,
+    interpret: bool,
+    fused_origin: bool = False,
+):
     from ..ops.pallas_phase1 import phase1_panel_split
 
     K = k_panel
     kw = K // 32
     naxis = mesh.shape[meshlib.ROWS_AXIS]
 
-    def kernel(a):
-        """a: (rloc, wp) local row block; wp % 128 == 0 (kernel tiling)."""
-        rloc, wp = a.shape
+    def kernel(a_in):
+        """a_in: (rloc, wp) local row block; wp % 128 == 0 (kernel tiling)."""
+        rloc, wp = a_in.shape
         panels = wp // kw
         ax = lax.axis_index(meshlib.ROWS_AXIS).astype(jnp.int32)
         offset = ax * rloc
@@ -105,19 +112,53 @@ def _build(mesh, cols: int, k_panel: int, phase2: str, interpret: bool):
             dst = jnp.where(prow_s >= 0, gbit - 1, cols)
             pof = pof.at[dst].set(gpiv)
 
-            # 4) rank-K bulk update — entirely local
+            # 4) rank-K bulk update — entirely local; mode-0 fused solves
+            # use the trailing MXU skip (the single-chip fast path)
             s = selector_from_prow(b_orig, gpiv, owned=owned, local_idx=local_idx)
-            a = apply_rank_k_update(a, s, pf, phase2)
+            a = apply_rank_k_update(
+                a, s, pf, phase2, w0=w0 if fused_origin else None
+            )
             return a, used, pof
 
-        a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
-        return a, pof[:cols]
+        a, used, pof = lax.fori_loop(0, panels, panel_body, (a_in, used0, pof0))
+        pof = pof[:cols]
+        if not fused_origin:
+            return a, pof
 
+        # --- fused mode-0 tail: origin from owned pivot rows (psum'd), then
+        # per-row parity verification against the ORIGINAL local block ------
+        nw32 = 2 * ((cols + 63) // 64)  # u64-aligned like origin_device
+        col_ids = jnp.arange(cols, dtype=jnp.int32)
+        mine = (pof >= offset) & (pof < offset + rloc)
+        lrow = jnp.where(mine, pof - offset, 0)
+        bit = (a[lrow, 0] & 1) & mine.astype(jnp.uint32)
+        contrib = (
+            jnp.zeros((nw32,), jnp.uint32)
+            .at[col_ids >> 5]
+            .add(bit << (col_ids & 31).astype(jnp.uint32))
+        )
+        origin32 = lax.psum(contrib, meshlib.ROWS_AXIS)
+
+        # xfull = packed [1 | x] over the padded width
+        ox = origin32
+        if wp > nw32:
+            ox = jnp.concatenate([ox, jnp.zeros((wp - nw32,), jnp.uint32)])
+        lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ox[:-1] >> 31])
+        xfull = ((ox << 1) | lo).at[0].set((ox[0] << 1) | 1)
+        ones = jnp.sum(
+            lax.population_count(a_in & xfull[None, :]).astype(jnp.int32),
+            axis=1,
+        )
+        local_bad = jnp.any((ones & 1) == 1)
+        unsat = lax.pmax(local_bad.astype(jnp.int32), meshlib.ROWS_AXIS) > 0
+        return origin32, unsat
+
+    out_specs = (P(), P()) if fused_origin else (P(meshlib.ROWS_AXIS, None), P())
     fn = shard_map(
         kernel,
         mesh=mesh,
         in_specs=P(meshlib.ROWS_AXIS, None),
-        out_specs=(P(meshlib.ROWS_AXIS, None), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -130,13 +171,20 @@ def rref_rowsharded_tournament(
     k_panel: int = 128,
     phase2: str = "jnp",
     interpret: bool = False,
+    fused_origin: bool = False,
 ):
     """Sharded tournament RREF; rows % (256 * rows-axis) == 0 and
-    W32 % 128 == 0 are the caller's responsibility (see solve)."""
-    key = (_mesh_key(mesh), cols, k_panel, phase2, interpret)
+    W32 % 128 == 0 are the caller's responsibility (see solve).
+
+    fused_origin=True returns (origin32, unsat) instead of (rref, pof):
+    trailing phase-2, in-kernel origin extraction, and a psum'd A·[1|x]
+    parity verification — the sharded version of rref_origin_blocked."""
+    key = (_mesh_key(mesh), cols, k_panel, phase2, interpret, fused_origin)
     fn = _kernel_cache.get(key)
     if fn is None:
-        fn = _kernel_cache[key] = _build(mesh, cols, k_panel, phase2, interpret)
+        fn = _kernel_cache[key] = _build(
+            mesh, cols, k_panel, phase2, interpret, fused_origin
+        )
     sharding = NamedSharding(mesh, P(meshlib.ROWS_AXIS, None))
     return fn(jax.device_put(a32, sharding))
 
@@ -167,6 +215,15 @@ def solve_rowsharded_tournament(
         word_align=max(kw, 128),
     )
     phase2 = phase2 or _pick_phase2(a32.shape[1])
+    if mode == 0:
+        origin32, unsat = jax.device_get(
+            rref_rowsharded_tournament(
+                a32, cols, mesh, k_panel, phase2, interpret, fused_origin=True
+            )
+        )
+        if bool(unsat):
+            return None
+        return packing.from_u32(np.asarray(origin32)[None, :])[0]
     rref32, pof = rref_rowsharded_tournament(
         a32, cols, mesh, k_panel, phase2, interpret
     )

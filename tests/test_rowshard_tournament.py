@@ -77,3 +77,17 @@ def test_solve_sharded_facade(mesh_rows):
     mesh1 = meshlib.make_mesh(batch=8, rows=1)
     got1 = solve_sharded(eqs, 48, 0, mesh1, k_panel=64)
     assert packing.words_to_int(got1) == want
+
+
+@pytest.mark.parametrize("deficit,unsat", [(0, False), (5, False), (0, True)])
+def test_tournament_fused_mode0(mesh_rows, deficit, unsat):
+    """Fused mode-0 path (trailing update + in-kernel origin + psum'd
+    verification) must agree with the oracle, incl. unsat detection."""
+    rng = np.random.default_rng(3000 + deficit + unsat)
+    eqs, _ = random_system(rng, 96, 70, rank_deficit=deficit, inconsistent=unsat)
+    got = solve_rowsharded_tournament(eqs, 70, 0, mesh_rows, k_panel=64)
+    want = solver.solve(eqs, 70, 0, backend="oracle")
+    if want is None:
+        assert got is None
+    else:
+        assert packing.words_to_int(got) == want
