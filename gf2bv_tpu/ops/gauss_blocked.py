@@ -329,6 +329,23 @@ def rref_blocked(
     return a, pof, extract_device.inconsistent_device(a)
 
 
+def origin_parity_unsat(a, origin32):
+    """Per-row parity of A & [1|x]: any odd row means the candidate origin
+    does not satisfy the ORIGINAL system (traceable; shared by the
+    single-chip and sharded fused mode-0 paths)."""
+    wp = a.shape[1]
+    ox = origin32
+    if wp > ox.shape[0]:
+        ox = jnp.concatenate([ox, jnp.zeros((wp - ox.shape[0],), jnp.uint32)])
+    # xfull = packed [const=1 | x]: shift the solution up one bit across words
+    lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ox[:-1] >> 31])
+    xfull = ((ox << 1) | lo).at[0].set((ox[0] << 1) | 1)
+    ones = jnp.sum(
+        lax.population_count(a & xfull[None, :]).astype(jnp.int32), axis=1
+    )
+    return jnp.any((ones & 1) == 1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def rref_origin_blocked(
     a: jnp.ndarray,
@@ -352,19 +369,7 @@ def rref_origin_blocked(
 
     rref32, pof, _ = rref_blocked(a, cols, k_panel, phase2, phase1, True)
     origin32 = extract_device.origin_device(rref32, pof, cols)
-
-    # xfull = packed [const=1 | x] over the padded word width
-    wp = a.shape[1]
-    ox = origin32
-    if wp > ox.shape[0]:
-        ox = jnp.concatenate([ox, jnp.zeros((wp - ox.shape[0],), jnp.uint32)])
-    lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ox[:-1] >> 31])
-    xfull = ((ox << 1) | lo).at[0].set((ox[0] << 1) | 1)
-    ones = jnp.sum(
-        lax.population_count(a & xfull[None, :]).astype(jnp.int32), axis=1
-    )
-    unsat = jnp.any((ones & 1) == 1)
-    return origin32, unsat
+    return origin32, origin_parity_unsat(a, origin32)
 
 
 def _pad(eqs: np.ndarray, k_panel: int, word_align: int = 1):

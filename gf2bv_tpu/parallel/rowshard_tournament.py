@@ -37,7 +37,11 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import packing
-from ..ops.gauss_blocked import apply_rank_k_update, selector_from_prow
+from ..ops.gauss_blocked import (
+    apply_rank_k_update,
+    origin_parity_unsat,
+    selector_from_prow,
+)
 from . import mesh as meshlib
 from .mesh import _mesh_key
 
@@ -84,13 +88,15 @@ def _build(
                 interpret=interpret,
             )
 
-            # 2) ONE collective: gather every shard's candidates
-            stacked = lax.all_gather(pf_l, meshlib.ROWS_AXIS).reshape(
-                naxis * K, wp
+            # 2) ONE collective round: gather candidates + their global ids
+            # together (a pytree all_gather; XLA's collective combiner merges
+            # the two gathers into one round on the wire)
+            stacked, grow = lax.all_gather(
+                (pf_l, jnp.where(prow_l >= 0, prow_l + offset, -1)),
+                meshlib.ROWS_AXIS,
             )
-            grow = lax.all_gather(
-                jnp.where(prow_l >= 0, prow_l + offset, -1), meshlib.ROWS_AXIS
-            ).reshape(naxis * K)
+            stacked = stacked.reshape(naxis * K, wp)
+            grow = grow.reshape(naxis * K)
 
             # 3) merged phase 1 on the replicated stacked candidates
             sb = lax.dynamic_slice(stacked, (0, w0), (naxis * K, kw))
@@ -139,17 +145,7 @@ def _build(
         )
         origin32 = lax.psum(contrib, meshlib.ROWS_AXIS)
 
-        # xfull = packed [1 | x] over the padded width
-        ox = origin32
-        if wp > nw32:
-            ox = jnp.concatenate([ox, jnp.zeros((wp - nw32,), jnp.uint32)])
-        lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ox[:-1] >> 31])
-        xfull = ((ox << 1) | lo).at[0].set((ox[0] << 1) | 1)
-        ones = jnp.sum(
-            lax.population_count(a_in & xfull[None, :]).astype(jnp.int32),
-            axis=1,
-        )
-        local_bad = jnp.any((ones & 1) == 1)
+        local_bad = origin_parity_unsat(a_in, origin32)
         unsat = lax.pmax(local_bad.astype(jnp.int32), meshlib.ROWS_AXIS) > 0
         return origin32, unsat
 
@@ -209,10 +205,13 @@ def solve_rowsharded_tournament(
     kw = k_panel // 32
     # the phase-1 kernels need lane-aligned width and 8-aligned local rows;
     # pad local blocks to 256 rows like the single-chip solver
+    # width must be a multiple of BOTH kw (panel coverage) and 128 (kernel
+    # lane tiling) — same guard as rowshard_blocked
+    word_align = 128 if 128 % kw == 0 else kw * 128
     a32 = packing.pad2d(
         packing.to_u32(eqs),
         row_align=256 * naxis,
-        word_align=max(kw, 128),
+        word_align=word_align,
     )
     phase2 = phase2 or _pick_phase2(a32.shape[1])
     if mode == 0:
