@@ -22,12 +22,11 @@ from gf2bv_tpu.ops import solver
 from gf2bv_tpu.ops.gauss_ref import solve_oracle
 
 
-def main(n=30):
+def main(n=30, cols=4000, backend="blocked", seed=0xF022):
     import jax
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cols = 4000  # fixed padded shape: rows 4096+pad, wp 128 words
-    rng = np.random.default_rng(0xF022)
+    rng = np.random.default_rng(seed)
     for i in range(n):
         rows = int(rng.integers(cols - 40, cols + 300))
         deficit = int(rng.integers(0, 5)) * int(rng.integers(0, 2))
@@ -46,8 +45,8 @@ def main(n=30):
         )
 
         ref = solve_oracle(eqs, cols)
-        got0 = solver.solve(eqs, cols, 0, backend="blocked")
-        got1 = solver.solve(eqs, cols, 1, backend="blocked")
+        got0 = solver.solve(eqs, cols, 0, backend=backend)
+        got1 = solver.solve(eqs, cols, 1, backend=backend)
         if not ref.consistent:
             assert got0 is None and got1 is None, f"[{i}] unsat not detected"
         else:
@@ -60,8 +59,10 @@ def main(n=30):
             f"[{i}] rows={rows} deficit={deficit} unsat={unsat} OK",
             file=sys.stderr,
         )
-    print(f"TPU fuzz: {n} instances OK")
+    print(f"TPU fuzz [{backend} cols={cols}]: {n} instances OK")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    main(n, cols=4000, backend="blocked", seed=0xF022)
+    main(n, cols=700, backend="jax", seed=0xF033)
