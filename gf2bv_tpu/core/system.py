@@ -60,7 +60,7 @@ class LinearSystem:
         return self._vars
 
     def __reduce__(self):
-        return (self.__class__, (self._sizes,))
+        return (self.__class__, (self._sizes, self._backend))
 
     @property
     def cols(self) -> int:
@@ -214,7 +214,7 @@ class QuadraticSystem(LinearSystem):
         return super().gens()[:-1]
 
     def __reduce__(self):
-        return (self.__class__, (self._quad_sizes,))
+        return (self.__class__, (self._quad_sizes, self._backend))
 
     # -- degree-2 ops ----------------------------------------------------------
 
