@@ -52,3 +52,14 @@ def test_solve_mt19937_device_pipeline():
     out = [rand.getrandbits(32) for _ in range(624)]
     sol = mt_jax.solve_mt19937(out, bs=32)
     assert sol == st
+
+
+@pytest.mark.slow
+def test_solve_mt19937_batch_device_pipeline():
+    states, outs = [], []
+    for seed in (101, 202, 303):
+        rand = random.Random(seed)
+        states.append(tuple(rand.getstate()[1][:-1]))
+        outs.append([rand.getrandbits(32) for _ in range(624)])
+    got = mt_jax.solve_mt19937_batch(outs, bs=32)
+    assert got == states
