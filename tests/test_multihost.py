@@ -17,18 +17,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_rowsharded_solve():
+import pytest
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_rowsharded_solve(nproc):
     worker = REPO / "scripts" / "multihost_worker.py"
     port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), "2", port],
+            [sys.executable, str(worker), str(pid), str(nproc), port],
             cwd=REPO,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for pid in (0, 1)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -36,4 +40,4 @@ def test_two_process_rowsharded_solve():
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, f"worker failed: {err[-2000:]}"
-        assert "OK (2 processes, 8 devices)" in out
+        assert f"OK ({nproc} processes, {4 * nproc} devices)" in out
