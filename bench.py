@@ -7,8 +7,8 @@ known-MSB equation).  The reference publishes no numbers (BASELINE.md); M4RI
 single-core on this size is documented there as seconds-scale — the
 ``vs_baseline`` field uses the BASELINE.md sizing estimate (2.0 s).  A
 measured reference point on THIS machine: our own M4R-class native C engine
-(gf2bv_tpu/_native, libm4ri's algorithm family) takes 9.4 s on the single
-available CPU core.
+(gf2bv_tpu/_native, libm4ri's algorithm family) takes 5.9 s on the single
+available CPU core (mode-0 trailing path).
 
 Pipeline measured: the symbolic system is built ON the TPU
 (crypto/mt_jax.py — bit-exact vs the generic host trace, tested), so only
@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 M4RI_BASELINE_EST_S = 2.0
-NATIVE_ENGINE_MEASURED_S = 9.4
+NATIVE_ENGINE_MEASURED_S = 5.9  # mode-0 trailing path (full RREF: 8.0s)
 
 
 def log(*a):
@@ -196,7 +196,7 @@ def main():
                         round(1 / chain_s, 2) if chain_s else None
                     ),
                     "baseline": "M4RI single-core estimate 2.0s (BASELINE.md; reference publishes no numbers)",
-                    "vs_native_engine_9.4s": round(
+                    "vs_native_engine_5.9s": round(
                         NATIVE_ENGINE_MEASURED_S / solve_s, 2
                     ),
                 },

@@ -59,6 +59,7 @@ def lib() -> ctypes.CDLL | None:
             L.gf2_rref.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int,
             ]
             L.gf2_inconsistent.restype = ctypes.c_int
             L.gf2_inconsistent.argtypes = [
@@ -78,11 +79,14 @@ def available() -> bool:
     return lib() is not None
 
 
-def rref_native(eqs: np.ndarray, cols: int):
+def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False):
     """In-place-free native RREF.  eqs: (rows, W64) uint64 packed.
 
     Returns (rref (rows, W64), pof (cols,) int32, inconsistent bool).
-    """
+    trailing=True is the mode-0 fast path (~2x less memory traffic): the
+    matrix is then NOT a full RREF in the free columns and the returned
+    inconsistent flag is False — callers must verify the solution (see
+    solve_native)."""
     L = lib()
     assert L is not None, "native backend unavailable (no gcc?)"
     rows, w = eqs.shape
@@ -91,9 +95,12 @@ def rref_native(eqs: np.ndarray, cols: int):
     pof = np.full(cols, -1, dtype=np.int32)
     used = np.zeros(rows, dtype=np.uint8)
     L.gf2_rref(
-        a.ctypes.data, rows, w + 1, cols, pof.ctypes.data, used.ctypes.data
+        a.ctypes.data, rows, w + 1, cols, pof.ctypes.data, used.ctypes.data,
+        int(trailing),
     )
-    inconsistent = bool(L.gf2_inconsistent(a.ctypes.data, rows, w + 1, cols))
+    inconsistent = False if trailing else bool(
+        L.gf2_inconsistent(a.ctypes.data, rows, w + 1, cols)
+    )
     return a[:, :w], pof, inconsistent
 
 
@@ -115,15 +122,26 @@ def enumerate_native(
 
 
 def solve_native(eqs: np.ndarray, cols: int, mode: int):
-    """m4ri_solve-shaped entry on the native engine (solver.py contract)."""
+    """m4ri_solve-shaped entry on the native engine (solver.py contract).
+
+    mode 0 runs the trailing update (~2x faster) and verifies the candidate
+    origin against the ORIGINAL system by row parity (exactly the TPU
+    fused-path contract); mode 1 needs the free columns and does the full
+    update."""
+    from ..core import packing
     from ..ops import extract
 
-    rref, pof, inconsistent = rref_native(eqs, cols)
+    rref, pof, inconsistent = rref_native(eqs, cols, trailing=(mode == 0))
     if inconsistent:
         return None
     pivot_cols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1
     pivot_rows = rref[pof[pivot_cols - 1]]
     origin = extract.build_origin(pivot_rows, pivot_cols, cols)
     if mode == 0:
+        xfull = packing.int_to_words(
+            (packing.words_to_int(origin) << 1) | 1, 1 + cols
+        )
+        if packing.parity_rows(eqs & xfull[None, : eqs.shape[1]]).any():
+            return None  # unsat (or any engine bug): origin does not satisfy
         return origin
     return origin, extract.build_basis(pivot_rows, pivot_cols, cols)

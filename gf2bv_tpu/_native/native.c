@@ -46,9 +46,17 @@ static inline uint8_t strip8(const uint64_t *row, int64_t c0) {
  *   a      : rows x w_alloc uint64 (>= 1 zeroed pad word at each row end)
  *   pof    : cols int32, set to pivot row index per variable column or -1
  *   used   : rows uint8 scratch, zero-initialized by this function
+ *   trailing: nonzero = mode-0 fast path: the bulk update touches only
+ *     word 0 (the affine/RHS column) and words >= the panel start — columns
+ *     left of the panel are earlier pivot columns (identity) or free
+ *     columns, which a free-vars-0 particular solution never reads.  The
+ *     result is then NOT a full RREF in the free columns and
+ *     gf2_inconsistent is unreliable; the caller must verify the extracted
+ *     solution against the original system (the same contract as the TPU
+ *     trailing mode, ops/gauss_blocked.py).
  */
 int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
-                 int32_t *pof, uint8_t *used) {
+                 int32_t *pof, uint8_t *used, int trailing) {
     int64_t rank = 0;
     memset(used, 0, (size_t)rows);
     for (int64_t c = 0; c < cols; c++) pof[c] = -1;
@@ -134,24 +142,30 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
             }
         }
 
-        /* 256-entry XOR table of PF-row combinations */
+        /* live word range: [wlo, w_alloc) plus word 0 when trailing */
+        int64_t wlo = trailing ? (c0 >> 6) : 0;
+
+        /* 256-entry XOR table of PF-row combinations (live words only) */
         memset(tbl, 0, (size_t)w_alloc * 8);
         for (int m = 1; m < 256; m++) {
             int bit = __builtin_ctz(m);
             const uint64_t *base = &tbl[(size_t)(m & (m - 1)) * w_alloc];
             const uint64_t *add = &pf[(size_t)bit * w_alloc];
             uint64_t *dst = &tbl[(size_t)m * w_alloc];
-            for (int64_t w = 0; w < w_alloc; w++) dst[w] = base[w] ^ add[w];
+            dst[0] = base[0] ^ add[0];
+            for (int64_t w = wlo ? wlo : 1; w < w_alloc; w++)
+                dst[w] = base[w] ^ add[w];
         }
 
-        /* phase 2: one table-XOR per row */
+        /* phase 2: one table-XOR per row (live words only) */
 #pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < rows; i++) {
             uint8_t s = sel[i];
             if (!s) continue;
             const uint64_t *src = &tbl[(size_t)s * w_alloc];
             uint64_t *dst = &a[(size_t)i * w_alloc];
-            for (int64_t w = 0; w < w_alloc; w++) dst[w] ^= src[w];
+            dst[0] ^= src[0];
+            for (int64_t w = wlo ? wlo : 1; w < w_alloc; w++) dst[w] ^= src[w];
         }
     }
 
