@@ -89,3 +89,30 @@ def test_pickle():
     sp = mk_space(3, [1, 6])
     sp2 = pickle.loads(pickle.dumps(sp))
     assert list(sp2) == list(sp)
+
+
+def test_enumerate_packed_native_matches_numpy():
+    """The native enumeration accelerator must match the numpy formulation
+    exactly (same order, same packing)."""
+    import numpy as np
+
+    from gf2bv_tpu import _native
+    from gf2bv_tpu.core.affine import combine_batch, _int_bits_lsb
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("no native engine")
+    rng = np.random.default_rng(3)
+    sp = mk_space(
+        int(rng.integers(0, 1 << 60)),
+        [int(rng.integers(1, 1 << 60)) for _ in range(7)],
+    )
+    for start, count, gray in [(0, 64, True), (37, 100, True), (5, 50, False)]:
+        got = sp.enumerate_packed(start, count, gray)
+        idx = np.arange(start, start + count, dtype=np.uint64)
+        if gray:
+            idx = idx ^ (idx >> np.uint64(1))
+        sel = _int_bits_lsb(idx, sp.dimension)
+        want = combine_batch(sp._origin, sp._basis, sel)
+        assert np.array_equal(got, want)
