@@ -64,5 +64,6 @@ def main(n=30, cols=4000, backend="blocked", seed=0xF022):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    main(n, cols=4000, backend="blocked", seed=0xF022)
-    main(n, cols=700, backend="jax", seed=0xF033)
+    seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
+    main(n, cols=4000, backend="blocked", seed=seed)
+    main(n, cols=700, backend="jax", seed=seed ^ 0x11)
