@@ -1,6 +1,8 @@
-"""128-bit Galois/Fibonacci LFSR state recovery from 256 output bits.
+"""Recover a 128-bit LFSR state from 256 observed output bits.
 
-Port of ``/root/reference/examples/lfsr.py``."""
+Workload parity with ``/root/reference/examples/lfsr.py``: the same widths,
+tap masks, and 256-bit keystream, for both the Galois and Fibonacci forms.
+"""
 
 import sys as _sys
 from pathlib import Path as _Path
@@ -12,24 +14,34 @@ import secrets
 from gf2bv_tpu import LinearSystem
 from gf2bv_tpu.crypto.lfsr import FibonacciLFSR, GaloisLFSR
 
+WIDTH = 128
+TAPS = {
+    GaloisLFSR: 0x5C2B76970103D4EEFCD4A2C681CC400D,
+    FibonacciLFSR: 0x6D6AC812F52A212D5A0B9F3117801FD5,
+}
 
-def lfsr_test(LFSR, n: int, mask: int):
-    print(f"Testing {LFSR.__name__}")
-    init_st = secrets.randbits(n)
-    print(f"{init_st = :#x}")
-    lfsr = LFSR(n, mask, init_st)
-    out = [lfsr() for _ in range(256)]
 
-    lin = LinearSystem([n])
-    (sym,) = lin.gens()
-    lfsr2 = LFSR(n, mask, sym)
-    zeros = [lfsr2() ^ o for o in out]
-    for (sol,) in lin.solve_all(zeros):
-        print(f"{sol = :#x}")
-        assert sol == init_st
-    print()
+def keystream(reg, nbits):
+    return [reg() for _ in range(nbits)]
+
+
+def recover(lfsr_cls, stream):
+    """Equate a symbolic keystream with the observed one and solve."""
+    lin = LinearSystem([WIDTH])
+    (state0,) = lin.gens()
+    sym = lfsr_cls(WIDTH, TAPS[lfsr_cls], state0)
+    zeros = [sym() ^ bit for bit in stream]
+    return [s for (s,) in lin.solve_all(zeros)]
+
+
+def main():
+    for lfsr_cls in (GaloisLFSR, FibonacciLFSR):
+        secret = secrets.randbits(WIDTH)
+        stream = keystream(lfsr_cls(WIDTH, TAPS[lfsr_cls], secret), 256)
+        found = recover(lfsr_cls, stream)
+        print(f"{lfsr_cls.__name__}: secret {secret:#034x} -> recovered {found[0]:#034x}")
+        assert found == [secret]
 
 
 if __name__ == "__main__":
-    lfsr_test(GaloisLFSR, 128, 0x5C2B76970103D4EEFCD4A2C681CC400D)
-    lfsr_test(FibonacciLFSR, 128, 0x6D6AC812F52A212D5A0B9F3117801FD5)
+    main()

@@ -1,8 +1,11 @@
 """MT19937 state recovery from truncated outputs — the headline workload.
 
-Port of ``/root/reference/examples/mt.py``: recovers the full 624-word state
-from getrandbits(bs) outputs for bs in {32, 17, 9, 1, 1337, 137}, via a
-19968-variable GF(2) system solved on TPU."""
+Workload parity with ``/root/reference/examples/mt.py``: seed 3142, output
+sizes bs in {32, 17, 9, 1, 1337, 137} (word-aligned, sub-word, single-bit,
+and multi-word), just enough samples to reach full rank, the known-MSB pin
+``mt[0] ^ 0x80000000``, and round-trip verification against both the
+symbolic model and CPython's ``random.Random``.
+"""
 
 import sys as _sys
 from pathlib import Path as _Path
@@ -15,40 +18,45 @@ from gf2bv_tpu import LinearSystem
 from gf2bv_tpu.crypto.mt import MT19937
 from gf2bv_tpu.utils.timing import timeit
 
+STATE_BITS = 32 * 624
 
-def mt19937(bs, samples=None):
-    print("bs:", bs)
-    rand = random.Random(3142)
-    st = tuple(rand.getstate()[1][:-1])
 
-    effective_bs = ((bs - 1) & bs) or bs
-    samples = 624 * 32 // effective_bs if samples is None else samples
-    out = [rand.getrandbits(bs) for _ in range(samples)]
+def sample_count(bs: int) -> int:
+    """Samples needed for full rank: truncation to a non-power-of-2 keeps
+    every requested bit, power-of-2-aligned sizes lose the rest of the word."""
+    kept = bs & (bs - 1) or bs
+    return STATE_BITS // kept
+
+
+def recover(bs: int, samples: int | None = None):
+    print(f"--- bs={bs} ---")
+    source = random.Random(3142)
+    true_state = tuple(source.getstate()[1][:-1])
+    observed = [source.getrandbits(bs) for _ in range(samples or sample_count(bs))]
 
     lin = LinearSystem([32] * 624)
-    mt = lin.gens()
-
-    rng = MT19937(list(mt))
+    words = lin.gens()
+    sym = MT19937(list(words))
     with timeit("generate system"):
-        zeros = [rng.getrandbits(bs) ^ o for o in out] + [mt[0] ^ 0x80000000]
-    print("solving...")
-    with timeit("solve_one"):
-        sol = lin.solve_one(zeros)
-    print("solved", sol[:10])
-    assert sol == st
+        zeros = [sym.getrandbits(bs) ^ o for o in observed]
+        zeros.append(words[0] ^ 0x80000000)  # python always sets the MSB of mt[0]
 
-    rng = MT19937(list(sol))
-    pyrand = rng.to_python_random()
-    assert all(rng.getrandbits(bs) == o for o in out)
-    assert all(pyrand.getrandbits(bs) == o for o in out)
-    for _ in range(100):
-        assert rng.getrandbits(bs) == rand.getrandbits(bs)
+    with timeit("solve_one"):
+        state = lin.solve_one(zeros)
+    print(f"recovered state head: {state[:8]}")
+    assert state == true_state
+
+    # replaying the recovered state must reproduce everything observed...
+    replay = MT19937(list(state))
+    clone = replay.to_python_random()
+    assert observed == [replay.getrandbits(bs) for _ in range(len(observed))]
+    assert observed == [clone.getrandbits(bs) for _ in range(len(observed))]
+    # ...and predict the source's future outputs
+    assert all(replay.getrandbits(bs) == source.getrandbits(bs) for _ in range(100))
 
 
 if __name__ == "__main__":
-    mt19937(32)
-    mt19937(17)
-    mt19937(9)
-    mt19937(1)
-    mt19937(1337, 19968 // 1337 + 10)
-    mt19937(137, 19968 // 137 + 60)
+    for bs in (32, 17, 9, 1):
+        recover(bs)
+    recover(1337, STATE_BITS // 1337 + 10)
+    recover(137, STATE_BITS // 137 + 60)

@@ -1,7 +1,15 @@
-"""Nonlinear-filtered LFSR attack via quadratic annihilator + linearization.
+"""Nonlinearly-filtered LFSR attack via a quadratic annihilator.
 
-Port of ``/root/reference/examples/nlfsr.py``: 128-bit LFSR, 5-tap combiner,
-QuadraticSystem with 128 linear + 8128 monomial columns."""
+Workload parity with ``/root/reference/examples/nlfsr.py``: a 128-bit LFSR
+filtered through a 5-tap combiner; whenever the keystream bit is 1, the
+annihilator of the combiner vanishes on the tap bits, giving one quadratic
+equation; linearization over 128 + 8128 monomials solves the state.
+
+TPU-idiomatic trace: the LFSR is traced once against a *narrow* linear
+system (129-bit rows), the three tap-bit streams are stacked into wide
+BitVecs, and all annihilator rows are produced by two batched ``mul_bits``
+calls — no per-output O(n^2) monomial expansion.
+"""
 
 import sys as _sys
 from pathlib import Path as _Path
@@ -11,68 +19,90 @@ _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root r
 import itertools
 import secrets
 
-from gf2bv_tpu import QuadraticSystem
+import numpy as np
+
+from gf2bv_tpu import BitVec, LinearSystem, QuadraticSystem
 from gf2bv_tpu.crypto.lfsr import FibonacciLFSR, GaloisLFSR
 
-n, mask = 128, 0xD670201BAC7515352A273372B2A95B23
-select = (13, 24, 35, 46, 57)
+WIDTH = 128
+TAPS = 0xD670201BAC7515352A273372B2A95B23
+SELECT = (13, 24, 35, 46, 57)
 
 
 def combiner(x0, x1, x2, x3, x4):
-    # this combining function is even: 50% of the time it will return 1
+    """The filtering function (balanced: emits 1 half the time)."""
     return (x0 * x1) ^ (x0 * x1 * x3 * x4) ^ x0 ^ x1 ^ x2
 
 
-def non_linear_output(lfsr):
-    lfsr()
-    x0, x1, x2, x3, x4 = [(lfsr.state >> i) & 1 for i in select]
-    return combiner(x0, x1, x2, x3, x4)
-
-
-def annihilator(x0, x1, x2, x3, x4):
-    # annihilates the combiner on its support (found with sage's
-    # BooleanFunction in the reference)
+def annihilator(x0, x1, x2):
+    """g with g * combiner == 0: whenever the combiner outputs 1, this
+    degree-2 form over the first three taps is 0."""
     return (x0 * x1) ^ x0 ^ (x1 * x2) ^ x1 ^ x2 ^ 1
 
 
-def sanity_check():
-    for x0, x1, x2, x3, x4 in itertools.product([0, 1], repeat=5):
-        if combiner(x0, x1, x2, x3, x4) == 1:
-            assert annihilator(x0, x1, x2, x3, x4) == 0
+def check_annihilator():
+    for bits in itertools.product((0, 1), repeat=5):
+        if combiner(*bits):
+            assert annihilator(*bits[:3]) == 0
 
 
-def nlfsr_test(LFSR):
-    print(f"Testing {LFSR.__name__}")
-    init = secrets.randbits(n)
-    print(f"{init = :0{n}b}")
-    lfsr = LFSR(n, mask, init)
+def keystream(lfsr_cls, state, nsteps):
+    reg = lfsr_cls(WIDTH, TAPS, state)
+    out = []
+    for _ in range(nsteps):
+        reg()
+        out.append(combiner(*((reg.state >> i) & 1 for i in SELECT)))
+    return out
 
-    N = 2**14 + 1000
-    out = [non_linear_output(lfsr) for _ in range(N)]
 
-    qsys = QuadraticSystem([128])
-    (x,) = qsys.gens()
-    lfsr_sys = LFSR(128, mask, x)
-    zeros = []
-    for o in out:
-        lfsr_sys()
-        if o == 1:
-            x0, x1, x2, x3, x4 = [lfsr_sys.state[i] for i in select]
-            # same as the annihilator function
-            z = qsys.mul_bit(x0, x1) ^ x0 ^ qsys.mul_bit(x1, x2) ^ x1 ^ x2 ^ 1
-            zeros.append(z)
-    print(f"{len(zeros) = }")
-    sols = list(qsys.solve_all(zeros))
-    for (sol,) in sols:
-        print(f"{sol = :0{n}b}")
-        assert sol == init
+def trace_tap_streams(lfsr_cls, nsteps, sizes=(WIDTH,)):
+    """Run the LFSR symbolically over a narrow linear system and collect
+    the three annihilator tap bits of every step as nsteps-wide BitVecs."""
+    lin = LinearSystem(sizes)
+    reg = lfsr_cls(WIDTH, TAPS, BitVec.stack(lin.gens()))
+    streams = ([], [], [])
+    for _ in range(nsteps):
+        reg()
+        for bits, tap in zip(streams, SELECT[:3]):
+            bits.append(reg.state[tap])
+    return tuple(BitVec.stack(bits) for bits in streams)
 
-    (sol,) = qsys.solve_one(zeros)
-    print(f"{sol = :0{n}b}")
-    assert sol == init
+
+def annihilator_rows(qsys, x0, x1, x2):
+    """All annihilator equations at once: two batched quadratic products
+    plus the linear and constant terms, at full monomial width."""
+    ones = (1 << len(x0)) - 1
+    return (
+        qsys.mul_bits(x0, x1)
+        ^ qsys.mul_bits(x1, x2)
+        ^ qsys.lift(x0)
+        ^ qsys.lift(x1)
+        ^ qsys.lift(x2)
+        ^ ones
+    )
+
+
+def attack(lfsr_cls, nsteps=2**14 + 1000):
+    print(f"--- {lfsr_cls.__name__} ---")
+    secret = secrets.randbits(WIDTH)
+    print(f"secret    {secret:0{WIDTH}b}")
+    out = np.array(keystream(lfsr_cls, secret, nsteps), dtype=bool)
+
+    qsys = QuadraticSystem([WIDTH])
+    rows = annihilator_rows(qsys, *trace_tap_streams(lfsr_cls, nsteps))
+    zeros = [rows[np.flatnonzero(out)]]
+    print(f"{int(out.sum())} equations from {nsteps} outputs")
+
+    solutions = [s for (s,) in qsys.solve_all(zeros)]
+    for s in solutions:
+        print(f"recovered {s:0{WIDTH}b}")
+    assert solutions and all(s == secret for s in solutions)
+
+    (one,) = qsys.solve_one(zeros)
+    assert one == secret
 
 
 if __name__ == "__main__":
-    sanity_check()
-    nlfsr_test(GaloisLFSR)
-    nlfsr_test(FibonacciLFSR)
+    check_annihilator()
+    attack(GaloisLFSR)
+    attack(FibonacciLFSR)

@@ -1,9 +1,12 @@
-"""NLFSR attack with trace caching + DimensionTooLargeError bruteforce.
+"""NLFSR attack, extended: trace caching + guessed-bit recovery + batching.
 
-Port of ``/root/reference/examples/nlfsr_ex.py``: demonstrates (a) pickling
-the traced (input-independent) system for reuse, (b) recovering from an
-oversized solution space by guessing bits with ``bit_assert``, and (c) the
-TPU addition — solving all guess subsystems as ONE batched device call."""
+Workload parity with ``/root/reference/examples/nlfsr_ex.py``: only 2**14
+outputs (so the solution space can exceed the enumeration guard), a
+multi-block QuadraticSystem([65, 63]), an on-disk cache of the
+input-independent symbolic trace, and — when DimensionTooLargeError fires —
+a 2-bit ``bit_assert`` bruteforce over x[0] and x[1]^x[2]^x[87].  The TPU
+addition: all four guess subsystems solve as ONE batched device call.
+"""
 
 import sys as _sys
 from pathlib import Path as _Path
@@ -14,96 +17,94 @@ import gzip
 import itertools
 import pickle
 import secrets
-import traceback
-from pathlib import Path
 
-from nlfsr import mask, n, non_linear_output, select
+import numpy as np
 
-from gf2bv_tpu import DimensionTooLargeError, QuadraticSystem
+from nlfsr import WIDTH, annihilator_rows, keystream, trace_tap_streams
+
+from gf2bv_tpu import BitVec, DimensionTooLargeError, QuadraticSystem
 from gf2bv_tpu.crypto.lfsr import FibonacciLFSR, GaloisLFSR
 from gf2bv_tpu.parallel.batch import solve_batch_systems
 
+NSTEPS = 2**14  # fewer outputs than nlfsr.py -> under-determined on purpose
 
-def nlfsr_ex_test(LFSR, batched_guessing: bool = True):
-    print(f"Testing {LFSR.__name__}")
 
-    # not 2**14 + 1000: we want DimensionTooLargeError to be possible
-    N = 2**14
-
-    # multiple sizes work for quadratic systems too
-    qsys = QuadraticSystem([65, 63])
-    lo, hi = qsys.gens()
-    x = lo.concat(hi)
-
-    # the traced system is input-independent -> cache it
-    cache_file_name = Path(__file__).parent / f"cache_{LFSR.__name__}.pkl.gz"
+def cached_annihilator_rows(qsys, lfsr_cls) -> BitVec:
+    """The symbolic trace is input-independent, so it is traced once per
+    LFSR class and cached on disk (packed rows pickle, gzip)."""
+    path = _Path(__file__).parent / f"trace_{lfsr_cls.__name__}.pkl.gz"
     try:
-        with gzip.open(cache_file_name, "rb") as f:
-            maybe_zeros = pickle.load(f)
-        assert len(maybe_zeros) == N
-        print("cache found, reusing...")
+        with gzip.open(path, "rb") as fh:
+            rows = pickle.load(fh)
+        assert len(rows) == NSTEPS
+        print("trace cache hit")
     except Exception:
-        print("cache not found, generating...")
-        lfsr_sys = LFSR(128, mask, x)
-        maybe_zeros = []
-        for _ in range(N):
-            lfsr_sys()
-            x0, x1, x2, x3, x4 = [lfsr_sys.state[i] for i in select]
-            z = qsys.mul_bit(x0, x1) ^ x0 ^ qsys.mul_bit(x1, x2) ^ x1 ^ x2 ^ 1
-            maybe_zeros.append(z)
-        with gzip.open(cache_file_name, "wb") as f:
-            pickle.dump(maybe_zeros, f)
+        print("tracing (cold)...")
+        taps = trace_tap_streams(lfsr_cls, NSTEPS, sizes=(65, 63))
+        rows = annihilator_rows(qsys, *taps)
+        with gzip.open(path, "wb") as fh:
+            pickle.dump(rows, fh)
+    return rows
 
-    init = secrets.randbits(n)
-    print(f"{init = :0{n}b}")
-    lfsr = LFSR(n, mask, init)
-    out = [non_linear_output(lfsr) for _ in range(N)]
 
-    zeros = [z for z, o in zip(maybe_zeros, out) if o == 1]
-    print(f"{len(zeros) = }")
+def first_consistent(qsys, space):
+    """First enumerated point that passes the quadratic consistency filter."""
+    if space is None or space.dimension > 16:
+        return None
+    for raw in space:
+        point = qsys.convert_sol(raw)
+        if point is not None:
+            return point
+    return None
+
+
+def attack(lfsr_cls, *, batched_guessing=True):
+    print(f"--- {lfsr_cls.__name__} ---")
+    qsys = QuadraticSystem([65, 63])
+    x = qsys.lift(BitVec.stack(qsys.gens()))
+    rows = cached_annihilator_rows(qsys, lfsr_cls)
+
+    secret = secrets.randbits(WIDTH)
+    print(f"secret    {secret:0{WIDTH}b}")
+    out = np.array(keystream(lfsr_cls, secret, NSTEPS), dtype=bool)
+    zeros = [rows[np.flatnonzero(out)]]
+    print(f"{int(out.sum())} equations")
 
     try:
-        sol_tuple = qsys.solve_one(zeros)
-        sol = qsys.evaluate(x, sol_tuple)
-        print(f"{sol = :0{n}b}")
-        assert sol == init
-        print("Lucky, enough zeros to avoid DimensionTooLargeError")
-    except DimensionTooLargeError:
-        traceback.print_exc()
-        print("=" * 40)
-        # solution space too large -> bruteforce some bits via bit_assert
-        guesses = list(itertools.product([0, 1], repeat=2))
-        guess_zeros = [
+        point = qsys.solve_one(zeros)
+    except DimensionTooLargeError as err:
+        print(f"underdetermined ({err}); guessing 2 bits")
+        guesses = list(itertools.product((0, 1), repeat=2))
+        systems = [
             zeros
-            + qsys.bit_assert(x[0], b0)
-            + qsys.bit_assert(x[1] ^ x[2] ^ x[87], b1)
-            for b0, b1 in guesses
+            + qsys.bit_assert(x[0], g0)
+            + qsys.bit_assert(x[1] ^ x[2] ^ x[87], g1)
+            for g0, g1 in guesses
         ]
         if batched_guessing:
-            # TPU path: all guess subsystems in one vmapped device solve
-            spaces = solve_batch_systems(qsys, guess_zeros, mode=1)
-            results = []
-            for space in spaces:
-                sol_tuple = None
-                if space is not None and space.dimension <= 16:
-                    for s in space:
-                        sol_tuple = qsys.convert_sol(s)
-                        if sol_tuple is not None:
-                            break
-                results.append(sol_tuple)
+            # all guess subsystems in one vmapped device solve
+            spaces = solve_batch_systems(qsys, systems, mode=1)
+            results = [first_consistent(qsys, sp) for sp in spaces]
         else:
-            results = [qsys.solve_one(gz) for gz in guess_zeros]
-        for (b0, b1), sol_tuple in zip(guesses, results):
-            print(b0, b1, sol_tuple)
-            if sol_tuple:
-                sol = qsys.evaluate(x, sol_tuple)
-                print(f"{sol = :0{n}b}")
-                assert sol == init
-                assert sol & 1 == b0
-                assert ((sol >> 1) & 1) ^ ((sol >> 2) & 1) ^ ((sol >> 87) & 1) == b1
-    print()
+            results = [qsys.solve_one(sys_zeros) for sys_zeros in systems]
+
+        hits = 0
+        for (g0, g1), point in zip(guesses, results):
+            if point is None:
+                continue
+            value = qsys.evaluate(x, point)
+            print(f"guess {g0}{g1} -> {value:0{WIDTH}b}")
+            assert value == secret
+            assert value & 1 == g0
+            assert ((value >> 1) ^ (value >> 2) ^ (value >> 87)) & 1 == g1
+            hits += 1
+        assert hits
+    else:
+        value = qsys.evaluate(x, point)
+        print(f"fully determined -> {value:0{WIDTH}b}")
+        assert value == secret
 
 
 if __name__ == "__main__":
-    nlfsr_ex_test(GaloisLFSR)
-    nlfsr_ex_test(FibonacciLFSR)
+    attack(GaloisLFSR)
+    attack(FibonacciLFSR)

@@ -1,7 +1,10 @@
-"""Toy 128-var system: solve_all + solve_one + evaluate round-trip.
+"""Warm-up: invert a toy 128-bit mixing function.
 
-Port of the reference example ``/root/reference/examples/simple.py`` to
-gf2bv_tpu (identical workload; the API is drop-in)."""
+Workload parity with the reference example (``/root/reference/examples/
+simple.py``): the same ``magic`` mixer, solved both as a homogeneous system
+(all-zero outputs) and as an affine one (outputs of a random secret), with
+``solve_all`` / ``solve_one`` / ``evaluate`` round-trip checks.
+"""
 
 import sys as _sys
 from pathlib import Path as _Path
@@ -10,51 +13,52 @@ _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root r
 
 import secrets
 
-from gf2bv_tpu import BitVec, LinearSystem
+from gf2bv_tpu import LinearSystem
+
+_M64 = (1 << 64) - 1
 
 
 def magic(x, y):
-    MASK64 = (1 << 64) - 1
-    z1 = ((x ^ (y >> 22) ^ (x << 13)) & MASK64) >> 3
-    z2 = ((y ^ (x >> 7) ^ (y << 5)) & MASK64) >> 3
-    z3 = (x ^ y) & 0b101101
-    return z1, z2, z3
+    """The mixer under attack — every step is GF(2)-linear in (x, y)."""
+    a = ((x ^ (y >> 22) ^ (x << 13)) & _M64) >> 3
+    b = ((y ^ (x >> 7) ^ (y << 5)) & _M64) >> 3
+    c = (x ^ y) & 0b101101
+    return a, b, c
 
 
-def solve(lin: LinearSystem, zeros: list, expected: tuple):
-    for sol in lin.solve_all(zeros):
-        print(f"{sol = }")
-        assert magic(*sol) == expected
-
-    sol = lin.solve_one(zeros)
-    print(f"{sol = }")
-    assert magic(*sol) == expected
-
-    for z in zeros:
-        assert lin.evaluate(z, sol) == 0
-
-
-def simple_linear():
+def recover(observed, *, check_homogeneous=False):
+    """Build the symbolic system for ``magic`` and recover all preimages of
+    ``observed``; every recovered point must reproduce it."""
     lin = LinearSystem((64, 64))
-    xs, ys = lin.gens()
-    z1s, z2s, z3s = magic(xs, ys)
-    zeros = [z1s, z2s, z3s]
-    assert all([e & 1 == 0 for e in lin.get_eqs(zeros)]), "the system is not linear"
-    solve(lin, zeros, (0, 0, 0))
+    sym_outputs = magic(*lin.gens())
+    zeros = [s ^ o for s, o in zip(sym_outputs, observed)]
+
+    if check_homogeneous:
+        # with observed == 0 the system has no affine terms at all
+        assert not any(eq & 1 for eq in lin.get_eqs(zeros)), "system is not linear"
+
+    count = 0
+    for point in lin.solve_all(zeros):
+        print(f"  preimage: {point}")
+        assert magic(*point) == observed
+        count += 1
+
+    one = lin.solve_one(zeros)
+    assert magic(*one) == observed
+    assert all(lin.evaluate(z, one) == 0 for z in zeros)
+    return count
 
 
-def simple_affine():
-    inp = secrets.randbits(64), secrets.randbits(64)
-    print(f"{inp = }")
-    z1, z2, z3 = magic(*inp)
+def main():
+    print("homogeneous (zero outputs):")
+    n = recover((0, 0, 0), check_homogeneous=True)
+    print(f"  {n} solution(s)")
 
-    lin = LinearSystem((64, 64))
-    xs, ys = lin.gens()
-    z1s, z2s, z3s = magic(xs, ys)
-    zeros = [z1s ^ z1, z2s ^ z2, z3s ^ z3]
-    solve(lin, zeros, (z1, z2, z3))
+    secret = (secrets.randbits(64), secrets.randbits(64))
+    print(f"affine (secret {secret}):")
+    n = recover(magic(*secret))
+    print(f"  {n} solution(s)")
 
 
 if __name__ == "__main__":
-    simple_linear()
-    simple_affine()
+    main()

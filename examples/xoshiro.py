@@ -1,6 +1,10 @@
-"""xoshiro256** full-state recovery from 10 outputs.
+"""Recover the full xoshiro256** state from 10 scrambled outputs.
 
-Port of ``/root/reference/examples/xoshiro.py``."""
+Workload parity with ``/root/reference/examples/xoshiro.py``: the ``*5,
+rotl 7, *9`` scrambler is not GF(2)-linear, so each observed output is
+inverted with ``untemper`` first and the system is built on raw ``step()``
+outputs.
+"""
 
 import sys as _sys
 from pathlib import Path as _Path
@@ -11,19 +15,23 @@ from gf2bv_tpu import LinearSystem
 from gf2bv_tpu.crypto.xoshiro import Xoshiro256starstar
 
 
-def xoshiro256starstar():
-    xos = Xoshiro256starstar.generate()
-    print(f"{xos.s = }")
-    out = [xos() for _ in range(10)]
+def main():
+    source = Xoshiro256starstar.generate()
+    print(f"secret state: {source.s}")
+    observed = [source() for _ in range(10)]
 
     lin = LinearSystem([64] * 4)
-    xos2 = Xoshiro256starstar(lin.gens())
-    zeros = [xos2.step() ^ Xoshiro256starstar.untemper(o) for o in out]
-    for sol in lin.solve_all(zeros):
-        print(f"{sol = }")
-        xos2 = Xoshiro256starstar(list(sol))
-        assert all(xos2() == o for o in out)
+    sym = Xoshiro256starstar(lin.gens())
+    zeros = [sym.step() ^ Xoshiro256starstar.untemper(o) for o in observed]
+
+    recovered = 0
+    for state in lin.solve_all(zeros):
+        print(f"recovered:    {list(state)}")
+        replay = Xoshiro256starstar(list(state))
+        assert [replay() for _ in range(10)] == observed
+        recovered += 1
+    assert recovered >= 1
 
 
 if __name__ == "__main__":
-    xoshiro256starstar()
+    main()

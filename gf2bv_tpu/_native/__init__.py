@@ -82,11 +82,11 @@ def available() -> bool:
 def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False):
     """In-place-free native RREF.  eqs: (rows, W64) uint64 packed.
 
-    Returns (rref (rows, W64), pof (cols,) int32, inconsistent bool).
+    Returns (rref (rows, W64), pof (cols,) int32, inconsistent bool|None).
     trailing=True is the mode-0 fast path (~2x less memory traffic): the
-    matrix is then NOT a full RREF in the free columns and the returned
-    inconsistent flag is False — callers must verify the solution (see
-    solve_native)."""
+    matrix is then NOT a full RREF in the free columns and satisfiability is
+    NOT determined — the flag comes back as None (never False) and callers
+    must verify the candidate solution (see solve_native)."""
     L = lib()
     assert L is not None, "native backend unavailable (no gcc?)"
     rows, w = eqs.shape
@@ -98,7 +98,7 @@ def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False):
         a.ctypes.data, rows, w + 1, cols, pof.ctypes.data, used.ctypes.data,
         int(trailing),
     )
-    inconsistent = False if trailing else bool(
+    inconsistent = None if trailing else bool(
         L.gf2_inconsistent(a.ctypes.data, rows, w + 1, cols)
     )
     return a[:, :w], pof, inconsistent

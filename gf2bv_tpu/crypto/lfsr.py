@@ -1,48 +1,45 @@
-"""Galois / Fibonacci LFSR models, generic over BitVec | int.
+"""Linear-feedback shift registers in Galois and Fibonacci form.
 
-Faithful to the reference (``/root/reference/gf2bv/crypto/lfsr.py``): the
-feedback select is linearized via ``bit.broadcast`` for the Galois form
-(ref lfsr.py:13-17) and tap parity via ``(state & mask).sum()`` reinserted at
-the top for the Fibonacci form (ref lfsr.py:31-37).
+Semantics match the reference models (``/root/reference/gf2bv/crypto/lfsr.py``):
+both forms shift right and emit the pre-shift LSB, the Galois form XORs the
+tap mask under the output bit (linearized via :func:`._generic.select`), the
+Fibonacci form reinserts the tap parity at the top bit.  Written against the
+dual-mode helpers so the classes run unchanged on ``int`` or ``BitVec``
+state.
 """
 
 from __future__ import annotations
 
-from ..core.bitvec import BitVec
+from ._generic import insert_top, parity, select
 
 
 class GaloisLFSR:
+    """width-``n`` Galois LFSR: ``out = s & 1; s = (s >> 1) ^ (out ? mask : 0)``."""
+
     def __init__(self, n: int, mask: int, state):
-        M = (1 << n) - 1
-        self.mask = mask & M
-        self.state = state & M
+        self.n = n
+        wrap = (1 << n) - 1
+        self.mask = mask & wrap
+        self.state = state & wrap
 
     def __call__(self):
-        bit = self.state & 1
-        self.state >>= 1
-        sel = (
-            bit.broadcast(0, len(self.state)) & self.mask
-            if isinstance(bit, BitVec)
-            else bit * self.mask
-        )
-        self.state ^= sel
-        return bit
+        out = self.state & 1
+        self.state = (self.state >> 1) ^ select(out, self.n, self.mask)
+        return out
 
 
 class FibonacciLFSR:
+    """width-``n`` Fibonacci LFSR: ``out = s & 1; s = (s >> 1) | (<s, mask> << (n-1))``."""
+
     def __init__(self, n: int, mask: int, state):
         self.n = n
-        M = (1 << n) - 1
-        self.mask = mask & M
-        self.state = state & M
+        wrap = (1 << n) - 1
+        self.mask = mask & wrap
+        self.state = state & wrap
 
     def __call__(self):
-        b = self.state & 1
-        if isinstance(self.state, BitVec):
-            o = (self.state & self.mask).sum()
-            self.state = (self.state >> 1) ^ o.zeroext(self.n - 1) << (self.n - 1)
-        else:
-            self.state = (self.state >> 1) | (
-                ((self.state & self.mask).bit_count() & 1) << (self.n - 1)
-            )
-        return b
+        out = self.state & 1
+        feedback = parity(self.state & self.mask)
+        # the top bit of (state >> 1) is always 0, so XOR == OR here
+        self.state = (self.state >> 1) ^ insert_top(feedback, self.n)
+        return out

@@ -1,62 +1,64 @@
-"""xoshiro256** model, generic over BitVec | int.
+"""xoshiro256** (Blackman-Vigna).
 
-Faithful to the reference (``/root/reference/gf2bv/crypto/xoshiro.py``): the
-``step()`` is GF(2)-linear; the ``*5, rotl7, *9`` output scrambler is not, so
-``untemper`` inverts it with modular inverses outside the system
-(ref xoshiro.py:28-37).
+The state transition is GF(2)-linear, so it traces directly; the ``*5,
+rotl 7, *9`` output scrambler is modular arithmetic, NOT GF(2)-linear, so —
+as in the reference model (``/root/reference/gf2bv/crypto/xoshiro.py``) —
+callers invert it outside the system with :func:`Xoshiro256starstar.untemper`
+and build equations against the raw ``step()`` outputs.
+
+The transition is written here as a pure dataflow function of the old state
+(each new word as an explicit formula) rather than a sequence of in-place
+updates; the two forms are bit-identical.
 """
 
 from __future__ import annotations
 
 import secrets
 
-from ..core.bitvec import BitVec
+from ._generic import rotl, trunc
 
-MASK64 = (1 << 64) - 1
+_W = 64
+_M64 = (1 << _W) - 1
+_INV5 = pow(5, -1, 1 << _W)
+_INV9 = pow(9, -1, 1 << _W)
 
 
-def rotl64(x, n):
-    if isinstance(x, BitVec):
-        return x.rotl(n)
-    return ((x << n) | (x >> (64 - n))) & MASK64
+def _next_state(s0, s1, s2, s3):
+    """One xoshiro256 transition, as formulas over the previous state."""
+    return (
+        s0 ^ s3 ^ s1,
+        s1 ^ s2 ^ s0,
+        s2 ^ s0 ^ trunc(s1 << 17, _W),
+        rotl(s3 ^ s1, _W, 45),
+    )
 
 
 class Xoshiro256starstar:
+    """Four 64-bit words of state; output = scramble(s1) before stepping."""
+
     def __init__(self, s):
         if len(s) != 4:
-            raise ValueError("invalid state")
+            raise ValueError("xoshiro256 state must be 4 words")
         self.s = list(s)
 
-    @staticmethod
-    def generate():
-        return Xoshiro256starstar([secrets.randbits(64) for _ in range(4)])
+    @classmethod
+    def generate(cls) -> "Xoshiro256starstar":
+        return cls([secrets.randbits(_W) for _ in range(4)])
 
     @staticmethod
-    def temper(s1):
-        return rotl64(s1 * 5 & MASK64, 7) * 9 & MASK64
-
-    inv9 = pow(9, -1, 1 << 64)
-    inv5 = pow(5, -1, 1 << 64)
+    def temper(word: int) -> int:
+        """The ** output scrambler: rotl64(s1 * 5, 7) * 9."""
+        return rotl(word * 5 & _M64, _W, 7) * 9 & _M64
 
     @staticmethod
-    def untemper(s1):
-        return (
-            rotl64(s1 * Xoshiro256starstar.inv9 & MASK64, 64 - 7)
-            * Xoshiro256starstar.inv5
-            & MASK64
-        )
+    def untemper(out: int) -> int:
+        """Inverse scrambler (modular inverses of 9 and 5, rotate back)."""
+        return rotl(out * _INV9 & _M64, _W, _W - 7) * _INV5 & _M64
 
     def step(self):
-        s0, s1, s2, s3 = self.s
-        result = s1
-        t = (s1 << 17) & MASK64
-        s2 ^= s0
-        s3 ^= s1
-        s1 ^= s2
-        s0 ^= s3
-        s2 ^= t
-        s3 = rotl64(s3, 45)
-        self.s = [s0, s1, s2, s3]
+        """Advance the state; return the pre-step s1 (the linear output)."""
+        result = self.s[1]
+        self.s = list(_next_state(*self.s))
         return result
 
     def __call__(self):

@@ -340,6 +340,9 @@ def origin_parity_unsat(a, origin32):
     # xfull = packed [const=1 | x]: shift the solution up one bit across words
     lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), ox[:-1] >> 31])
     xfull = ((ox << 1) | lo).at[0].set((ox[0] << 1) | 1)
+    # a narrower than the u64-aligned origin: bits past a's storage cannot
+    # participate in A & x, so truncate symmetrically instead of broadcasting
+    xfull = xfull[:wp]
     ones = jnp.sum(
         lax.population_count(a & xfull[None, :]).astype(jnp.int32), axis=1
     )

@@ -70,6 +70,15 @@ def solve_batch(
     from ..ops.gauss_blocked import solve_blocked
 
     if cols >= solver._BLOCKED_THRESHOLD:
+        if mesh is not None:
+            import warnings
+
+            warnings.warn(
+                f"solve_batch: cols={cols} routes through the panel-blocked "
+                "solver sequentially; the batch mesh is not used (shard wide "
+                "systems with parallel.solve_sharded instead)",
+                stacklevel=2,
+            )
         return [solve_blocked(m, cols, mode) for m in eq_mats]
     a = pack_batch(eq_mats, cols)
     if mesh is not None:
