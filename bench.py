@@ -175,6 +175,34 @@ def bench_mt19937(bs: int = 32):
         chain_s = None
         log(f"device-chained measurement failed: {type(e).__name__}: {e}")
 
+    # public API through the generic lazy trace engine: the same workload
+    # via LinearSystem.solve_one — the first call materializes + uploads the
+    # device-cached coefficient matrix, warm calls ship only the ~2.5 KB
+    # affine delta (ops/lazy_solve.py)
+    from gf2bv_tpu import LinearSystem
+
+    def api_zeros():
+        lin = LinearSystem([32] * 624)
+        words = lin.gens()
+        sym = MT19937(list(words))
+        return lin, [sym.getrandbits(bs) ^ o for o in out] + [
+            words[0] ^ 0x80000000
+        ]
+
+    lin, zeros = api_zeros()
+    t0 = time.perf_counter()
+    sol_api = lin.solve_one(zeros)
+    log(f"public-API solve_one (cache build incl. upload): "
+        f"{time.perf_counter() - t0:.3f}s")
+    assert sol_api == st
+    api_s = min(_timed(lambda: lin.solve_one(zeros))[0] for _ in range(3))
+    t0 = time.perf_counter()
+    lin2, zeros2 = api_zeros()
+    assert lin2.solve_one(zeros2) == st
+    api_full_s = time.perf_counter() - t0
+    log(f"public-API solve_one (warm): {api_s:.3f}s; full user path incl. "
+        f"re-trace: {api_full_s:.3f}s")
+
     # correctness: reference-style round trip
     s = packing.words_to_int(raw)
     sol = []
@@ -186,14 +214,14 @@ def bench_mt19937(bs: int = 32):
     assert all(rng2.getrandbits(bs) == o for o in out)
     log("round-trip verified")
 
-    return solve_s, trace_s, pipe_s, chain_s
+    return solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s
 
 
 def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    solve_s, trace_s, pipe_s, chain_s = bench_mt19937()
+    solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s = bench_mt19937()
     print(
         json.dumps(
             {
@@ -203,6 +231,8 @@ def main():
                 "vs_baseline": round(M4RI_BASELINE_EST_S / solve_s, 3),
                 "detail": {
                     "trace_s": round(trace_s, 4),
+                    "public_api_solve_one_s": round(api_s, 4),
+                    "public_api_full_path_s": round(api_full_s, 4),
                     "pipelined_solves_per_s": round(1 / pipe_s, 2),
                     "device_chained_solves_per_s": (
                         round(1 / chain_s, 2) if chain_s else None

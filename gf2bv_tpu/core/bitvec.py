@@ -106,8 +106,12 @@ class BitVec:
         form of ``concat``; new capability for collecting per-step trace
         bits into one wide vector)."""
         items = list(items)
+        for b in items:
+            sub = type(b).stack
+            if getattr(sub, "__func__", sub) is not BitVec.stack.__func__:
+                return type(b).stack(items)  # lazy subclass: record instead
         nbits = max(b.nbits for b in items)
-        return cls(np.concatenate([b.rows for b in items], axis=0), nbits)
+        return BitVec(np.concatenate([b.rows for b in items], axis=0), nbits)
 
     # -- linear ops --------------------------------------------------------
 

@@ -1,0 +1,425 @@
+"""Lazy symbolic bitvectors: record the trace, build the system on device.
+
+The reference's defining capability is a fully generic trace — ANY Python
+function run on symbolic bitvectors yields a GF(2) system
+(``/root/reference/gf2bv/__init__.py:21-134``).  Its cost model, however, is
+per-op big-int work, and the round-1 eager port kept that shape: every BitVec
+op materializes a packed numpy matrix on the host and ``solve_one`` uploads
+the ~100 MB result.  This module makes the generic trace TPU-first:
+
+* ``LazyBitVec`` implements the whole BitVec op surface but only RECORDS an
+  expression DAG (``Expr`` nodes) — tracing MT19937 is ~20k tiny Python
+  object constructions, no array math.
+* The **coefficient part** of every traced equation is input-independent:
+  XOR-with-constant is the only way per-instance data enters a GF(2)-linear
+  trace, and it touches nothing but the affine column.  So the packed
+  coefficient matrix is materialized ONCE per trace *structure* (a content
+  hash over the DAG that deliberately excludes XOR constants), cached on the
+  device, and reused across instances.
+* Per solve, only the **affine column** is recomputed — each node's affine
+  bits form a Python int bitmask, so the interpreter is ~one int op per DAG
+  node — and the tiny (rows,) delta vector is fused into the solver call on
+  device (ops/lazy_solve.py).
+
+Any operation outside the recorded surface transparently materializes to the
+eager packed representation (``rows`` is a property), so a LazyBitVec is
+substitutable wherever a BitVec is expected, including inside the crypto
+models' ``isinstance(x, BitVec)`` linearization branches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .bitvec import BitVec
+
+
+def _digest(*parts: bytes) -> bytes:
+    h = hashlib.blake2b(digest_size=12)
+    for p in parts:
+        h.update(p)
+    return h.digest()
+
+
+def _ints(*vals: int) -> bytes:
+    return b"".join(v.to_bytes(8, "little", signed=True) for v in vals)
+
+
+def _bigint(v: int) -> bytes:
+    return v.to_bytes((v.bit_length() + 7) // 8 or 1, "little")
+
+
+class Expr:
+    """One node of the recorded trace.
+
+    ``shash`` is the structural content hash: it covers the op, all params
+    that influence the COEFFICIENT columns, and the children — but not XOR
+    constants, which only touch the affine column and are re-applied per
+    solve.  Equal shash => bit-identical coefficient matrix.
+    """
+
+    __slots__ = ("op", "args", "aux", "width", "nbits", "shash")
+
+    def __init__(self, op, args, aux, width, nbits, hash_aux: bytes):
+        self.op = op
+        self.args = args
+        self.aux = aux
+        self.width = width
+        self.nbits = nbits
+        self.shash = _digest(
+            op.encode(), _ints(width), hash_aux, *(a.shash for a in args)
+        )
+
+
+def _leaf(op, payload, width, nbits, hash_aux):
+    return Expr(op, (), payload, width, nbits, hash_aux)
+
+
+def postorder(roots):
+    """Iterate every reachable node exactly once, children before parents
+    (iterative: trace DAGs are far deeper than the recursion limit)."""
+    seen = set()
+    stack = [(r, False) for r in reversed(roots)]
+    while stack:
+        node, expanded = stack.pop()
+        if expanded:
+            yield node
+            continue
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        stack.append((node, True))
+        stack.extend((ch, False) for ch in reversed(node.args))
+
+
+def struct_key(exprs, extra: bytes = b"") -> bytes:
+    """Cache key for a zeros list: per-zero structural hashes + widths."""
+    return _digest(extra, *(e.shash + _ints(e.width) for e in exprs))
+
+
+# --------------------------------------------------------------------------
+# coefficient materialization (eager BitVec per node, shared walk)
+
+def materialize_many(exprs, strip_consts: bool = False):
+    """Evaluate DAG nodes to eager packed matrices in ONE shared walk.
+
+    Returns a list of (width, W64) uint64 arrays, one per root.  With
+    ``strip_consts`` the XOR constants are skipped, yielding the
+    input-independent coefficient matrix (structural affine contributions,
+    e.g. from OR-with-constant, are kept).  Intermediate results are freed
+    as soon as their last consumer is evaluated, so peak memory tracks the
+    trace's live working set, not the DAG size.
+    """
+    order = list(postorder(exprs))
+    nconsumers: dict[int, int] = {}
+    for n in order:
+        for ch in n.args:
+            nconsumers[id(ch)] = nconsumers.get(id(ch), 0) + 1
+    for r in exprs:
+        nconsumers[id(r)] = nconsumers.get(id(r), 0) + 1  # keep the roots
+
+    memo: dict[int, BitVec] = {}
+    for n in order:
+        ch = [memo[id(a)] for a in n.args]
+        memo[id(n)] = _eval_coeff(n, ch, strip_consts)
+        for a in n.args:
+            nconsumers[id(a)] -= 1
+            if nconsumers[id(a)] == 0:
+                del memo[id(a)]
+    return [memo[id(e)].rows for e in exprs]
+
+
+def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:
+    op = n.op
+    if op == "leaf":
+        return n.aux
+    a = ch[0]
+    if op == "xor":
+        return a ^ ch[1]
+    if op == "xorc":
+        return a if strip else a ^ n.aux
+    if op == "and":
+        return a & n.aux
+    if op == "orc":
+        return a | n.aux
+    if op == "rshift":
+        return a >> n.aux
+    if op == "lshift":
+        return a << n.aux
+    if op == "lshift_ext":
+        return a.lshift_ext(n.aux)
+    if op == "rotr":
+        return a.rotr(n.aux)
+    if op == "rotl":
+        return a.rotl(n.aux)
+    if op == "sum":
+        return a.sum()
+    if op == "zeroext":
+        return a.zeroext(n.aux)
+    if op == "signext":
+        return a.signext(n.aux)
+    if op == "broadcast":
+        return a.broadcast(*n.aux)
+    if op == "dup":
+        return a.dup(n.aux)
+    if op == "concat":
+        return a.concat(ch[1])
+    if op == "slice":
+        return a[n.aux[0] : n.aux[1]]
+    if op == "take":
+        return a[np.asarray(n.aux, dtype=np.int64)]
+    if op == "stack":
+        return BitVec.stack(ch)
+    raise AssertionError(f"unknown op {op}")
+
+
+# --------------------------------------------------------------------------
+# affine column interpreter (one Python int bitmask per node)
+
+def affine_many(exprs) -> list[int]:
+    """The true affine column of each root for THIS instance's constants,
+    as an int bitmask over the root's rows (bit i = affine term of bit i)."""
+    memo: dict[int, int] = {}
+    for n in postorder(exprs):
+        memo[id(n)] = _eval_affine(n, [memo[id(a)] for a in n.args])
+    return [memo[id(e)] for e in exprs]
+
+
+def _eval_affine(n: Expr, ch: list[int]) -> int:
+    op = n.op
+    w = n.width
+    wmask = (1 << w) - 1
+    if op == "leaf":
+        # packed bit 0 of every row
+        bits = (n.aux.rows[:, 0] & np.uint64(1)).astype(np.uint8)
+        return int.from_bytes(
+            np.packbits(bits, bitorder="little").tobytes(), "little"
+        )
+    a = ch[0]
+    if op == "xor":
+        return a ^ ch[1]
+    if op == "xorc":
+        return a ^ (n.aux & wmask)
+    if op == "and":
+        return a & n.aux
+    if op == "orc":
+        return a | n.aux
+    if op == "rshift":
+        return a >> n.aux
+    if op == "lshift":
+        k = n.aux
+        aw = n.args[0].width
+        return (a & ((1 << max(aw - k, 0)) - 1)) << k
+    if op == "lshift_ext":
+        return a << n.aux
+    if op == "rotr":
+        k = n.aux % w
+        return ((a >> k) | (a << (w - k))) & wmask if k else a
+    if op == "rotl":
+        k = n.aux % w
+        return ((a << k) | (a >> (w - k))) & wmask if k else a
+    if op == "sum":
+        return a.bit_count() & 1
+    if op == "zeroext":
+        return a
+    if op == "signext":
+        aw = n.args[0].width
+        top = (a >> (aw - 1)) & 1
+        return a | (((1 << n.aux) - 1) << aw if top else 0)
+    if op == "broadcast":
+        i, cnt = n.aux
+        return ((1 << cnt) - 1) if (a >> i) & 1 else 0
+    if op == "dup":
+        aw = n.args[0].width
+        out = 0
+        for k in range(n.aux):
+            out |= a << (aw * k)
+        return out
+    if op == "concat":
+        return a | (ch[1] << n.args[0].width)
+    if op == "slice":
+        lo, hi = n.aux
+        return (a >> lo) & ((1 << (hi - lo)) - 1)
+    if op == "take":
+        out = 0
+        for i, j in enumerate(n.aux):
+            out |= ((a >> j) & 1) << i
+        return out
+    if op == "stack":
+        out = off = 0
+        for c, child in zip(ch, n.args):
+            out |= c << off
+            off += child.width
+        return out
+    raise AssertionError(f"unknown op {op}")
+
+
+# --------------------------------------------------------------------------
+# the lazy bitvector
+
+def _mask_hash(width: int, mask: int) -> bytes:
+    return _bigint(mask & ((1 << width) - 1))
+
+
+class LazyBitVec(BitVec):
+    """A BitVec that records ops instead of computing them.
+
+    ``rows`` materializes on first touch (and is cached on the instance), so
+    every inherited method — ``evaluate``, ``_bits``, pickling, the
+    OR-of-two-bitvecs special case — keeps working unchanged.
+    """
+
+    __slots__ = ("_expr", "_rows")
+
+    def __init__(self, expr: Expr):
+        self._expr = expr
+        self._rows = None
+        self.nbits = expr.nbits
+
+    @classmethod
+    def from_eager(cls, bv: BitVec, structural_name: bytes | None = None):
+        """Wrap an eager BitVec as a leaf.  Named leaves (e.g. system
+        generators) hash by name; anonymous ones hash by content."""
+        if structural_name is None:
+            structural_name = _digest(
+                np.ascontiguousarray(bv.rows).tobytes(), _ints(bv.nbits)
+            )
+        expr = _leaf("leaf", bv, len(bv), bv.nbits, structural_name)
+        return cls(expr)
+
+    # -- materialization ---------------------------------------------------
+
+    @property
+    def rows(self) -> np.ndarray:
+        if self._rows is None:
+            (self._rows,) = materialize_many([self._expr])
+        return self._rows
+
+    def __len__(self) -> int:
+        return self._expr.width
+
+    def __repr__(self) -> str:
+        return f"LazyBitVec(width={len(self)}, nbits={self.nbits})"
+
+    # -- recorded ops (semantics identical to the eager BitVec) -------------
+
+    def _node(self, op, args, aux, width, hash_aux) -> "LazyBitVec":
+        nbits = max(a.nbits for a in args) if args else self.nbits
+        return LazyBitVec(Expr(op, args, aux, width, nbits, hash_aux))
+
+    def _unary(self, op, aux, width, hash_aux=None):
+        if hash_aux is None:
+            hash_aux = _ints(aux) if isinstance(aux, int) else _ints(*aux)
+        return self._node(op, (self._expr,), aux, width, hash_aux)
+
+    @staticmethod
+    def _as_expr(other: BitVec) -> Expr:
+        if isinstance(other, LazyBitVec):
+            return other._expr
+        return LazyBitVec.from_eager(other)._expr
+
+    def __xor__(self, other):
+        w = len(self)
+        if isinstance(other, BitVec):
+            if len(other) != w:
+                raise ValueError(f"BitVec width mismatch: {w} vs {len(other)}")
+            oe = self._as_expr(other)
+            return self._node("xor", (self._expr, oe), None, w, b"")
+        # XOR with a Python int: affine-only, excluded from the hash
+        return self._node("xorc", (self._expr,), int(other), w, b"")
+
+    __rxor__ = __xor__
+    __pow__ = __xor__
+
+    def __rshift__(self, n: int):
+        return self if n == 0 else self._unary("rshift", int(n), len(self))
+
+    def __lshift__(self, n: int):
+        if n == 0:
+            return self
+        return self._unary("lshift", int(n), max(len(self), int(n)))
+
+    def lshift_ext(self, n: int):
+        return self._unary("lshift_ext", int(n), len(self) + int(n))
+
+    def __and__(self, mask: int):
+        w = len(self)
+        mask = int(mask) & ((1 << w) - 1)
+        if mask == (1 << w) - 1:
+            return self
+        return self._node(
+            "and", (self._expr,), mask, w, _mask_hash(w, mask)
+        )
+
+    __rand__ = __and__
+
+    def __or__(self, mask):
+        if isinstance(mask, BitVec):
+            # const-overlap OR: rare; materialize (inherited semantics)
+            return BitVec.__or__(self, mask)
+        w = len(self)
+        mask = int(mask) & ((1 << w) - 1)
+        return self._node("orc", (self._expr,), mask, w, _mask_hash(w, mask))
+
+    __ror__ = __or__
+
+    def __mod__(self, n: int):
+        if n & (n - 1) != 0:
+            raise ValueError("modulo non-power-of-2 is not a linear operation")
+        return self & (n - 1)
+
+    def rotr(self, n: int):
+        return self._unary("rotr", int(n) % len(self), len(self))
+
+    def rotl(self, n: int):
+        return self._unary("rotl", int(n) % len(self), len(self))
+
+    def sum(self):
+        return self._unary("sum", 0, 1)
+
+    def zeroext(self, n: int):
+        return self._unary("zeroext", int(n), len(self) + int(n))
+
+    def signext(self, n: int):
+        return self._unary("signext", int(n), len(self) + int(n))
+
+    def broadcast(self, i: int, n: int):
+        return self._unary("broadcast", (int(i), int(n)), int(n))
+
+    def dup(self, n: int):
+        return self._unary("dup", int(n), len(self) * int(n))
+
+    def concat(self, other: BitVec):
+        oe = self._as_expr(other)
+        return self._node(
+            "concat", (self._expr, oe), None, len(self) + len(other), b""
+        )
+
+    def __getitem__(self, key):
+        w = len(self)
+        if isinstance(key, slice):
+            lo, hi, step = key.indices(w)
+            if step == 1:
+                return self._unary("slice", (lo, hi), max(hi - lo, 0))
+            idx = tuple(range(lo, hi, step))
+            return self._unary("take", idx, len(idx), _ints(*idx))
+        if isinstance(key, (list, np.ndarray)):
+            arr = np.asarray(key)
+            if arr.dtype == np.bool_:
+                arr = np.flatnonzero(arr)
+            idx = tuple(int(i) + (w if i < 0 else 0) for i in arr.tolist())
+            return self._unary("take", idx, len(idx), _ints(*idx))
+        k = int(key)
+        if k < 0:
+            k += w
+        return self._unary("slice", (k, k + 1), 1)
+
+    @classmethod
+    def stack(cls, items):
+        items = list(items)
+        exprs = tuple(cls._as_expr(b) for b in items)
+        width = sum(e.width for e in exprs)
+        nbits = max(e.nbits for e in exprs)
+        return cls(Expr("stack", exprs, None, width, nbits, b""))

@@ -52,12 +52,37 @@ class LinearSystem:
             _vars.append(BitVec(rows, self._nbits))
             i += size
         self._vars = tuple(_vars)
+        self._lazy_vars: tuple[BitVec, ...] | None = None
         self._nw = nw
 
     # -- generators ---------------------------------------------------------
 
-    def gens(self) -> tuple[BitVec, ...]:
-        return self._vars
+    def gens(self, *, lazy: bool | None = None) -> tuple[BitVec, ...]:
+        """The symbolic variable blocks.  By default they are LAZY bitvecs:
+        ops on them record a trace DAG so ``solve_one``/``solve_all`` can
+        build the system on device and cache its input-independent
+        coefficient matrix across instances (core/lazy.py).  ``lazy=False``
+        (or GF2BV_TPU_LAZY=0) returns the eager packed-array variables."""
+        import os
+
+        if lazy is None:
+            lazy = os.environ.get("GF2BV_TPU_LAZY", "1") != "0"
+        if not lazy:
+            return self._vars
+        if self._lazy_vars is None:
+            from .lazy import LazyBitVec, _digest, _ints
+
+            sizes = tuple(self._sizes)
+            self._lazy_vars = tuple(
+                LazyBitVec.from_eager(
+                    v,
+                    structural_name=_digest(
+                        b"gens", _ints(*sizes, k, self._nbits)
+                    ),
+                )
+                for k, v in enumerate(self._vars)
+            )
+        return self._lazy_vars
 
     def __reduce__(self):
         return (self.__class__, (self._sizes, self._backend))
@@ -70,6 +95,18 @@ class LinearSystem:
 
     def get_eqs_packed(self, zeros: Zeros) -> np.ndarray:
         """Stack zeros into a packed (rows, W64) matrix, dropping zero rows."""
+        from .lazy import LazyBitVec, materialize_many
+
+        # materialize all lazy zeros in ONE shared-memo walk (per-item
+        # materialization would re-evaluate the shared trace prefix per row)
+        pending = [
+            bv for bv in zeros if isinstance(bv, LazyBitVec) and bv._rows is None
+        ]
+        if pending:
+            for bv, mat in zip(
+                pending, materialize_many([bv._expr for bv in pending])
+            ):
+                bv._rows = mat
         blocks = []
         for bv in zeros:
             if isinstance(bv, BitVec):
@@ -89,6 +126,11 @@ class LinearSystem:
 
     def _solve_internal(self, zeros: Zeros, mode: int):
         from ..ops import solver
+
+        from ..ops import lazy_solve
+
+        if lazy_solve.eligible(self, zeros):
+            return lazy_solve.solve_lazy(self, list(zeros), mode)
 
         eqs = self.get_eqs_packed(zeros)
         # literal 1 == unsatisfiable 0*x = 1 (ref :231-233): the row has only
@@ -211,8 +253,16 @@ class QuadraticSystem(LinearSystem):
         # (i outer, j inner — _internal.c:583-599)
         self._tri_i, self._tri_j = np.tril_indices(n, k=-1)
 
-    def gens(self):
-        return super().gens()[:-1]
+    def gens(self, *, lazy: bool | None = None):
+        # default EAGER here: quadratic consumers (mul_bit/bit_assert)
+        # materialize per produced bit, so a lazy state chain would re-walk
+        # its shared trace prefix on every call (O(steps^2)).  The fast
+        # quadratic idiom traces taps against a narrow LinearSystem (which
+        # stays lazy) and batches products via mul_bits — see
+        # examples/nlfsr.py.
+        if lazy is None:
+            lazy = False
+        return super().gens(lazy=lazy)[:-1]
 
     def __reduce__(self):
         return (self.__class__, (self._quad_sizes, self._backend))

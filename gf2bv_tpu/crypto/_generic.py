@@ -78,7 +78,8 @@ def concat_words(parts, width: int):
     """Join words little-endian: ``parts[i]`` occupies bits
     ``[i * width, i * width + len(part))`` of the result."""
     if isinstance(parts[0], BitVec):
-        return reduce(BitVec.concat, parts)
+        # dispatch through the instance so lazy subclasses keep recording
+        return reduce(lambda a, b: a.concat(b), parts)
     out = 0
     for i, p in enumerate(parts):
         out |= p << (i * width)
