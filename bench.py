@@ -46,6 +46,9 @@ def _timed(fn):
 
 
 def bench_mt19937(bs: int = 32):
+
+    from gf2bv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import numpy as np
 
     import jax

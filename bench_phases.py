@@ -10,6 +10,10 @@ use this to see WHERE the solve time goes.
 import os, time, random, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np, jax, jax.numpy as jnp
+
+from gf2bv_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+
 from gf2bv_tpu.core import packing
 from gf2bv_tpu.crypto import mt_jax
 from gf2bv_tpu.ops import extract_device, gauss_blocked

@@ -27,6 +27,8 @@ def bench_batched(n_sys=64, rows=512, cols=256, reps=5):
     import numpy as np
 
     import jax
+    from gf2bv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from gf2bv_tpu.core import packing
     from gf2bv_tpu.parallel import batch as pbatch

@@ -4,10 +4,7 @@ Workload parity with ``/root/reference/examples/lfsr.py``: the same widths,
 tap masks, and 256-bit keystream, for both the Galois and Fibonacci forms.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import secrets
 

@@ -7,10 +7,7 @@ and multi-word), just enough samples to reach full rank, the known-MSB pin
 symbolic model and CPython's ``random.Random``.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import random
 

@@ -11,10 +11,7 @@ BitVecs, and all annihilator rows are produced by two batched ``mul_bits``
 calls — no per-output O(n^2) monomial expansion.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import itertools
 import secrets
@@ -88,17 +85,36 @@ def attack(lfsr_cls, nsteps=2**14 + 1000):
     print(f"secret    {secret:0{WIDTH}b}")
     out = np.array(keystream(lfsr_cls, secret, nsteps), dtype=bool)
 
+    # the O(n^2) monomial expansion runs ON DEVICE from the narrow tap
+    # streams (~400 KB upload), and the equation matrix never comes back:
+    # solve_all_packed / solve_one_packed consume it device-resident
+    from gf2bv_tpu.ops import quad_device
+
     qsys = QuadraticSystem([WIDTH])
-    rows = annihilator_rows(qsys, *trace_tap_streams(lfsr_cls, nsteps))
-    zeros = [rows[np.flatnonzero(out)]]
+    x0, x1, x2 = trace_tap_streams(lfsr_cls, nsteps)
+    eqs = quad_device.quad_rows(
+        qsys,
+        pairs=[(x0, x1), (x1, x2)],  # the annihilator's quadratic terms
+        linear=[x0, x1, x2],
+        const=(1 << nsteps) - 1,
+    )
+    import jax.numpy as jnp
+
+    # bucket-pad the selection (duplicate equations are inert under RREF)
+    # so the gather/solve shapes quantize and the compiled executables are
+    # reused across runs with different keystreams
+    sel = np.flatnonzero(out)
+    want = -(-len(sel) // 256) * 256
+    sel = np.concatenate([sel, np.full(want - len(sel), sel[0])])
+    eqs_sel = eqs[jnp.asarray(sel)]  # device gather; matrix stays on device
     print(f"{int(out.sum())} equations from {nsteps} outputs")
 
-    solutions = [s for (s,) in qsys.solve_all(zeros)]
+    solutions = [s for (s,) in qsys.solve_all_packed(eqs_sel)]
     for s in solutions:
         print(f"recovered {s:0{WIDTH}b}")
     assert solutions and all(s == secret for s in solutions)
 
-    (one,) = qsys.solve_one(zeros)
+    (one,) = qsys.solve_one_packed(eqs_sel)
     assert one == secret
 
 

@@ -8,10 +8,7 @@ a 2-bit ``bit_assert`` bruteforce over x[0] and x[1]^x[2]^x[87].  The TPU
 addition: all four guess subsystems solve as ONE batched device call.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import gzip
 import itertools

@@ -7,10 +7,7 @@ solved by the TPU Gauss-Jordan and by the slow host oracle, and the raw
 solution ints must match bit-for-bit.  Note: the oracle on a 19968^2 system
 takes minutes on CPU; pass a smaller bs-derived sample count to go faster."""
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import random
 

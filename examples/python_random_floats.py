@@ -8,10 +8,7 @@ That's 53 of 64 bits per pair; ~400 floats overdetermine the 19968-bit
 state, which the solver recovers exactly.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import random
 

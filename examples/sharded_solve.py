@@ -8,10 +8,7 @@ code path, collectives compiled away) or a virtual CPU mesh:
         GF2BV_FORCE_CPU=1 python examples/sharded_solve.py
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import os
 

@@ -6,10 +6,7 @@ simple.py``): the same ``magic`` mixer, solved both as a homogeneous system
 ``solve_all`` / ``solve_one`` / ``evaluate`` round-trip checks.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import secrets
 

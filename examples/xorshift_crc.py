@@ -5,10 +5,7 @@ crc.py — no analog in the reference): recover a xorshift128 state from
 truncated outputs, and find input bytes hitting a chosen CRC-32.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 import binascii
 import random

@@ -6,10 +6,7 @@ inverted with ``untemper`` first and the system is built on raw ``step()``
 outputs.
 """
 
-import sys as _sys
-from pathlib import Path as _Path
-
-_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))  # repo-root run
+import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
 from gf2bv_tpu import LinearSystem
 from gf2bv_tpu.crypto.xoshiro import Xoshiro256starstar

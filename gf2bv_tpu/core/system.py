@@ -157,10 +157,7 @@ class LinearSystem:
     def solve_raw_space(self, zeros: Zeros) -> Optional[AffineSpace]:
         return self._solve_internal(zeros, 1)
 
-    def solve_all(self, zeros: Zeros, *, max_dimension: int = 16):
-        space = self.solve_raw_space(zeros)
-        if space is None:
-            return
+    def _enumerate_space(self, space: AffineSpace, max_dimension: int):
         if space.dimension > max_dimension:
             raise DimensionTooLargeError(
                 f"solution space has dimension {space.dimension} "
@@ -174,8 +171,37 @@ class LinearSystem:
             if ret is not None:
                 yield ret
 
+    def solve_all(self, zeros: Zeros, *, max_dimension: int = 16):
+        space = self.solve_raw_space(zeros)
+        if space is None:
+            return
+        yield from self._enumerate_space(space, max_dimension)
+
     def solve_one(self, zeros: Zeros):
         sol = self._solve_internal(zeros, 0)
+        if sol is None:
+            return
+        return self.convert_sol(sol)
+
+    # -- pre-packed systems (device-resident fast path; no reference analog) --
+
+    def solve_raw_packed(self, eqs, mode: int):
+        """Solve a PRE-PACKED equation matrix: (rows, W64) uint64 host rows,
+        (rows, W32) uint32, or a device-resident jnp array (e.g. built by
+        ops/quad_device.py) — the latter solves without uploading the
+        matrix.  Same mode contract as solve_raw_one/solve_raw_space."""
+        from ..ops import solver
+
+        return solver.solve_packed(eqs, self._cols, mode, backend=self._backend)
+
+    def solve_all_packed(self, eqs, *, max_dimension: int = 16):
+        space = self.solve_raw_packed(eqs, 1)
+        if space is None:
+            return
+        yield from self._enumerate_space(space, max_dimension)
+
+    def solve_one_packed(self, eqs):
+        sol = self.solve_raw_packed(eqs, 0)
         if sol is None:
             return
         return self.convert_sol(sol)
@@ -375,13 +401,11 @@ class QuadraticSystem(LinearSystem):
             return super()._convert_sol(lin)[:-1]
         return None
 
-    def solve_all(self, zeros: Zeros, *, max_dimension: int = 16):
-        """Like LinearSystem.solve_all, but the quadratic consistency filter
-        runs on device over whole enumeration chunks (ops/enumerate.py)
-        instead of per-point in Python."""
-        space = self.solve_raw_space(zeros)
-        if space is None:
-            return
+    def _enumerate_space(self, space: AffineSpace, max_dimension: int):
+        """Quadratic variant: the consistency filter runs on device over
+        whole enumeration chunks (ops/enumerate.py) for larger spaces
+        instead of per-point in Python.  Shared by solve_all and
+        solve_all_packed."""
         if space.dimension > max_dimension:
             raise DimensionTooLargeError(
                 f"solution space has dimension {space.dimension} "
@@ -393,20 +417,23 @@ class QuadraticSystem(LinearSystem):
         if space.dimension > 8:
             from ..ops.enumerate import iter_quad_filtered
 
-            for s in iter_quad_filtered(space, self._lin_size):
-                ret = self.convert_sol(s)
-                if ret is not None:
-                    yield ret
+            points = iter_quad_filtered(space, self._lin_size)
         else:
-            for s in space:
-                ret = self.convert_sol(s)
-                if ret is not None:
-                    yield ret
+            points = space
+        for s in points:
+            ret = self.convert_sol(s)
+            if ret is not None:
+                yield ret
 
     def solve_one(self, zeros: Zeros):
         # A raw one-solution solve might not pass the consistency filter
         # (ref :395-398): route through solve_all.
         for sol in self.solve_all(zeros):
+            return sol
+
+    def solve_one_packed(self, eqs):
+        # same consistency-filter routing for pre-packed systems
+        for sol in self.solve_all_packed(eqs):
             return sol
 
     def evaluate(self, bv: BitVec, sol: tuple[int, ...]) -> int:

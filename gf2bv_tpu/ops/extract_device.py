@@ -64,24 +64,31 @@ def origin_device(rref32: jnp.ndarray, pof: jnp.ndarray, cols: int):
     return _pack_u32(x, nw32)
 
 
+# The pivot axis of the basis build is processed in fixed-size chunks: a
+# single call bucketed to the full rank compiles a fresh (rankb, dimb)
+# gather/segment_sum executable per rank bucket — ~100 s one-time XLA
+# compile at the 16384 bucket (NLFSR size).  Chunking caps the compiled
+# shape at (_PCHUNK, dimb) forever; partial results combine with XOR on
+# device (bits of distinct pivot columns never collide).
+_PCHUNK = 4096
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
-def _basis_device(
+def _basis_partial(
     rref32: jnp.ndarray,  # (rows, wp) uint32
-    prow: jnp.ndarray,  # (rankb,) int32, padded with 0 + mask via pcol<0
-    pcol: jnp.ndarray,  # (rankb,) int32 packed-bit positions, -1 padding
+    prow: jnp.ndarray,  # (chunk,) int32, padded with 0 + mask via pcol<0
+    pcol: jnp.ndarray,  # (chunk,) int32 packed-bit positions, -1 padding
     fcol: jnp.ndarray,  # (dimb,) int32 packed-bit positions, -1 padding
     cols: int,
 ):
-    """(dimb, Wsol32) uint32 basis rows (padding rows are zero)."""
+    """Contribution of one pivot chunk: (dimb, Wsol32) uint32 words."""
     nw32 = _wsol32(cols)
-    rankb = prow.shape[0]
-    dimb = fcol.shape[0]
 
     # coeff[j, k] = bit fcol[k] of pivot row prow[j]
     fw = jnp.maximum(fcol, 0) >> 5
     fs = (jnp.maximum(fcol, 0) & 31).astype(jnp.uint32)
-    pivrows = rref32[jnp.maximum(prow, 0)]  # (rankb, wp)
-    coeff = (pivrows[:, fw] >> fs[None, :]) & 1  # (rankb, dimb) uint32
+    pivrows = rref32[jnp.maximum(prow, 0)]  # (chunk, wp)
+    coeff = (pivrows[:, fw] >> fs[None, :]) & 1  # (chunk, dimb) uint32
     valid_p = (pcol >= 0)[:, None]
     valid_f = (fcol >= 0)[None, :]
     coeff = jnp.where(valid_p & valid_f, coeff, 0)
@@ -92,16 +99,32 @@ def _basis_device(
     svar = jnp.maximum(pcol - 1, 0)  # solution bit index of pivot col
     sw = (svar >> 5).astype(jnp.int32)
     ss = (svar & 31).astype(jnp.uint32)
-    vals = coeff << ss[:, None]  # (rankb, dimb)
+    vals = coeff << ss[:, None]  # (chunk, dimb)
     acc = jax.ops.segment_sum(vals, sw, num_segments=nw32)  # (nw32, dimb)
-    basis = acc.T.astype(jnp.uint32)  # (dimb, nw32)
+    return acc.T.astype(jnp.uint32)  # (dimb, nw32)
 
-    # one-hot free bit
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _basis_onehot(fcol: jnp.ndarray, acc: jnp.ndarray, cols: int):
+    """XOR the one-hot free-variable bit into the accumulated basis rows."""
+    del cols
+    dimb = fcol.shape[0]
     fvar = jnp.maximum(fcol - 1, 0)
     ohw = (fvar >> 5).astype(jnp.int32)
     ohv = jnp.where(fcol >= 0, jnp.uint32(1) << (fvar & 31).astype(jnp.uint32), 0)
-    basis = basis.at[jnp.arange(dimb), ohw].add(ohv)
-    return basis
+    return acc.at[jnp.arange(dimb), ohw].add(ohv)
+
+
+def _basis_device(rref32, prow, pcol, fcol, cols: int):
+    """(dimb, Wsol32) uint32 basis rows, chunked over the pivot axis."""
+    rankb = prow.shape[0]
+    acc = None
+    for c0 in range(0, rankb, _PCHUNK):
+        part = _basis_partial(
+            rref32, prow[c0 : c0 + _PCHUNK], pcol[c0 : c0 + _PCHUNK], fcol, cols
+        )
+        acc = part if acc is None else acc ^ part
+    return _basis_onehot(fcol, acc, cols)
 
 
 @jax.jit

@@ -384,6 +384,18 @@ def _pad(eqs: np.ndarray, k_panel: int, word_align: int = 1):
     )
 
 
+def _pad_device(a32, k_panel: int, word_align: int = 1):
+    """Device-side analog of _pad: zero-pad a (rows, W32) jnp matrix to the
+    solver's row-bucket and word alignments without a host round-trip."""
+    rows, w32 = a32.shape
+    walign = max(k_panel // 32, word_align)
+    want_rows = max(_ROW_BUCKET, -(-rows // _ROW_BUCKET) * _ROW_BUCKET)
+    want_w = -(-w32 // walign) * walign
+    if want_rows == rows and want_w == w32:
+        return a32
+    return jnp.pad(a32, ((0, want_rows - rows), (0, want_w - w32)))
+
+
 def _pick_engines(wp: int) -> tuple[str, str]:
     """(phase1, phase2): pallas kernels need >= 128 lanes and a real TPU;
     small systems / other backends use the jnp paths."""

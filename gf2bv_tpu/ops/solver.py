@@ -46,6 +46,60 @@ def solve(eqs: np.ndarray, cols: int, mode: int, backend: str | None = None):
         return _solve(eqs, cols, mode, backend)
 
 
+def solve_packed(eqs, cols: int, mode: int, backend: str | None = None):
+    """Like :func:`solve`, but also accepts a DEVICE-resident (rows, W32)
+    uint32 matrix (e.g. from ops/quad_device.py) — the system is then padded
+    and solved without any host round-trip for the matrix data."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(eqs, np.ndarray):
+        eqs64 = eqs if eqs.dtype == np.uint64 else packing.from_u32(eqs)
+        return solve(eqs64, cols, mode, backend)
+
+    backend = backend or _auto_backend(cols)
+    from . import extract_device
+
+    if backend not in ("blocked", "jax"):
+        # host-only backends: pull the matrix back once
+        return solve(packing.from_u32(np.asarray(eqs)), cols, mode, backend)
+
+    if backend == "blocked":
+        from .gauss_blocked import (
+            K_PANEL, _pad_device, _pick_engines, rref_blocked,
+            rref_origin_blocked,
+        )
+
+        a = _pad_device(jnp.asarray(eqs, jnp.uint32), K_PANEL, 128)
+        p1, p2 = _pick_engines(a.shape[1])
+        if mode == 0:
+            origin32, unsat = jax.device_get(
+                rref_origin_blocked(a, cols, K_PANEL, p2, p1)
+            )
+            if bool(unsat):
+                return None
+            return packing.words_to_int(packing.from_u32(origin32[None, :])[0])
+        rref32, pof, inc = rref_blocked(a, cols, K_PANEL, p2, p1)
+    else:
+        from .gauss_jax import _ROW_BUCKET, rref_device, rref_origin_device
+
+        a = jnp.asarray(eqs, jnp.uint32)
+        want = max(_ROW_BUCKET, -(-a.shape[0] // _ROW_BUCKET) * _ROW_BUCKET)
+        if want != a.shape[0]:
+            a = jnp.pad(a, ((0, want - a.shape[0]), (0, 0)))
+        if mode == 0:
+            origin32, unsat = jax.device_get(rref_origin_device(a, cols))
+            if bool(unsat):
+                return None
+            return packing.words_to_int(packing.from_u32(origin32[None, :])[0])
+        rref32, pof, inc = rref_device(a, cols)
+
+    raw = extract_device.finalize(rref32, pof, inc, cols, mode)
+    if raw is None:
+        return None
+    return AffineSpace(raw[0], raw[1], cols)
+
+
 def _solve(eqs: np.ndarray, cols: int, mode: int, backend: str):
 
     if backend == "oracle":

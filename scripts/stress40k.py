@@ -20,6 +20,10 @@ import time
 import numpy as np
 
 import jax
+
+from gf2bv_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+
 import jax.numpy as jnp
 
 from gf2bv_tpu.ops import gauss_blocked

@@ -24,6 +24,8 @@ from gf2bv_tpu.ops.gauss_ref import solve_oracle
 
 def main(n=30, cols=4000, backend="blocked", seed=0xF022):
     import jax
+    from gf2bv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(seed)
