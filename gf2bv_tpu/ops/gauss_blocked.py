@@ -171,7 +171,12 @@ def rref_blocked(
         w0 = t * kw
         b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
         if phase1.startswith("pallas_scan") or phase1.startswith("pallas_sub"):
-            from .pallas_phase1 import phase1_panel_split as p1fn
+            from .pallas_phase1 import phase1_panel_split
+
+            def p1fn(*args, **kw_):
+                return phase1_panel_split(
+                    *args, scan2=phase1.startswith("pallas_scan2"), **kw_
+                )
         else:
             from .pallas_phase1 import phase1_panel as p1fn
 

@@ -350,17 +350,105 @@ def _make_reconstruct_kernel(wp: int, K: int, kw: int):
     return kernel
 
 
+def _make_scan_kernel2(rows: int, K: int, kw: int, cols: int):
+    """Forward scan, TWO pivots per sequential step.
+
+    The scan is per-step-latency-bound (~1 us of fixed overhead per
+    dependent step; narrowing the lanes measurably changes nothing — see
+    SUBSET_ROWS).  Processing pivot columns jj and jj+1 in one step halves
+    the sequential step count and fuses the two panel-slice updates into
+    one pass: the second column's candidates are computed against the
+    FIRST pivot's elimination virtually (one scalar bit of the first pivot
+    row), and the second pivot row is corrected by the first before use.
+    Coefficient semantics are identical to the 1-pivot kernel (each c bit
+    is relative to the forward pivot row at its time), so the shared
+    reconstruct kernel applies unchanged.
+    """
+
+    def kernel(w0_ref, bT_in, used_in, prow_ref, used_ref, cT_ref, bT_ref):
+        w0 = w0_ref[0]
+        lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+
+        bT_ref[:] = bT_in[:]
+        used_ref[:] = used_in[:]
+        cT_ref[:] = jnp.zeros((kw, rows), jnp.uint32)
+
+        def lane_extract(mat, piv):
+            sel = jnp.where(lane_ids == piv, mat.astype(jnp.int32), 0)
+            return jnp.sum(sel, axis=1, keepdims=True).astype(jnp.uint32)
+
+        for sw in range(kw):
+            def p1_step2(s2, _, sw=sw):
+                jj0 = 32 * sw + 2 * s2
+                gbit0 = 32 * w0 + jj0
+                shift0 = (2 * s2).astype(jnp.uint32)
+                shift1 = shift0 + 1
+
+                cur = bT_ref[sw : sw + 1, :]
+                valid0 = (gbit0 >= 1) & (gbit0 <= cols)
+                col0 = (cur >> shift0) & 1
+                cand0 = (col0 == 1) & (used_ref[:] == 0) & valid0
+                piv0 = jnp.min(jnp.where(cand0, lane_ids, rows))
+                has0 = piv0 < rows
+                p0 = jnp.where(has0, piv0, 0)
+                prow_ref[jj0] = jnp.where(has0, piv0, -1)
+                bpiv0 = lane_extract(bT_ref[sw:, :], p0)  # (kw-sw, 1)
+                elim0 = cand0 & (lane_ids != piv0)
+                em0 = jnp.where(elim0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+
+                # second column, with pivot 0's elimination applied
+                # virtually: only its bit jj0+1 matters here
+                valid1 = (gbit0 + 1 >= 1) & (gbit0 + 1 <= cols)
+                p0b1 = (bpiv0[0:1, :] >> shift1) & 1  # (1, 1)
+                col1 = ((cur >> shift1) & 1) ^ jnp.where(elim0, p0b1, 0)
+                cand1 = (
+                    (col1 == 1)
+                    & (used_ref[:] == 0)
+                    & valid1
+                    & ~((lane_ids == piv0) & has0)
+                )
+                piv1 = jnp.min(jnp.where(cand1, lane_ids, rows))
+                has1 = piv1 < rows
+                p1 = jnp.where(has1, piv1, 0)
+                prow_ref[jj0 + 1] = jnp.where(has1, piv1, -1)
+                bpiv1_raw = lane_extract(bT_ref[sw:, :], p1)
+                e0_at_p1 = lane_extract(em0, p1)  # (1, 1): 0 or all-ones
+                bpiv1 = bpiv1_raw ^ (e0_at_p1 & bpiv0)
+                elim1 = cand1 & (lane_ids != piv1)
+                em1 = jnp.where(elim1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+
+                # one fused rank-2 update of the live slice + coefficients
+                bT_ref[sw:, :] = bT_ref[sw:, :] ^ (em0 & bpiv0) ^ (em1 & bpiv1)
+                cT_ref[sw : sw + 1, :] = (
+                    cT_ref[sw : sw + 1, :]
+                    ^ (em0 & (jnp.uint32(1) << shift0))
+                    ^ (em1 & (jnp.uint32(1) << shift1))
+                )
+                used_ref[:] = jnp.where(
+                    ((lane_ids == piv0) & has0) | ((lane_ids == piv1) & has1),
+                    jnp.int32(1),
+                    used_ref[:],
+                )
+                return 0
+
+            lax.fori_loop(0, 16, p1_step2, 0)
+
+    return kernel
+
+
 # subset-scan working-set size: K pivots leave >= 512 live candidates at
 # panel end, making a missed pivot (-> fallback pass) vanishingly rare for
 # unstructured systems; lane-aligned (multiple of 128)
 SUBSET_ROWS = 768
 
 
-def _call_scan_kernel(bT, used, w0_arr, K: int, cols: int, interpret: bool):
+def _call_scan_kernel(bT, used, w0_arr, K: int, cols: int, interpret: bool,
+                      scan2: bool = False):
     """One scan-kernel invocation (shared by the full and subset engines)."""
     kw, s_rows = bT.shape
+    make = _make_scan_kernel2 if scan2 else _make_scan_kernel
     return pl.pallas_call(
-        _make_scan_kernel(s_rows, K, kw, cols),
+        make(s_rows, K, kw, cols),
         out_shape=(
             jax.ShapeDtypeStruct((K,), jnp.int32),
             jax.ShapeDtypeStruct((1, s_rows), jnp.int32),
@@ -418,9 +506,9 @@ def phase1_reconstruct(arows, coeff, prow, w0, K: int, cols: int,
     )(w0_arr, prow, coeff, arows)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
-                       interpret: bool = False):
+                       interpret: bool = False, scan2: bool = False):
     """Split-phase-1 drop-in for phase1_panel (same contract).
 
     a: (rows, wp) u32; bT: (kw, rows); used: (1, rows) i32; w0 scalar word
@@ -429,7 +517,9 @@ def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
     kw = K // 32
     assert wp % 128 == 0
     w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
-    prow, used_o, cT = _call_scan_kernel(bT, used, w0_arr, K, cols, interpret)
+    prow, used_o, cT = _call_scan_kernel(
+        bT, used, w0_arr, K, cols, interpret, scan2
+    )
 
     # one batched gather each for the pivot rows and their coefficients
     prow_safe = jnp.maximum(prow, 0)

@@ -15,7 +15,7 @@ from pathlib import Path
 
 
 def enable_persistent_cache(path: str | os.PathLike | None = None,
-                            min_compile_secs: float = 5.0) -> str:
+                            min_compile_secs: float = 1.0) -> str:
     """Point JAX at a persistent compilation cache directory (created on
     first write).  Default: $JAX_COMPILATION_CACHE_DIR, else .jax_cache
     next to the repository/package root."""

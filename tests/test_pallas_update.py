@@ -142,6 +142,30 @@ def test_blocked_solver_with_pallas_scan_phase1_interpret():
     ]
 
 
+@pytest.mark.parametrize("seed,rows,cols", [(41, 150, 75), (42, 300, 200)])
+def test_blocked_solver_with_pallas_scan2_phase1_interpret(seed, rows, cols):
+    """Two-pivots-per-step scan engine must match the oracle bit-for-bit."""
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.core import packing
+
+    rng = np.random.default_rng(seed)
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    coeff[rows - 5 :] = coeff[:5]  # dependent rows
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    got = solve_blocked(eqs, cols, 1, phase1="pallas_scan2_interpret", phase2="jnp")
+    ref = solve_oracle(eqs, cols)
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert [packing.words_to_int(b) for b in basis] == [
+        packing.words_to_int(b) for b in ref.basis
+    ]
+
+
 @pytest.mark.parametrize("seed,rows,cols,dep", [(31, 150, 75, 10), (32, 300, 200, 0)])
 def test_blocked_solver_with_pallas_sub_phase1_interpret(seed, rows, cols, dep):
     """Subset-scan phase-1 engine (with deficit fallback) vs the oracle."""
