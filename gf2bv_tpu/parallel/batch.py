@@ -74,11 +74,20 @@ def solve_batch(
             import warnings
 
             warnings.warn(
-                f"solve_batch: cols={cols} routes through the panel-blocked "
-                "solver sequentially; the batch mesh is not used (shard wide "
-                "systems with parallel.solve_sharded instead)",
+                f"solve_batch: cols={cols} routes through the batched "
+                "blocked solver on the default device; the batch mesh is "
+                "not used (shard wide systems with parallel.solve_sharded "
+                "instead)",
                 stacklevel=2,
             )
+        # one stacked device program (ops/gauss_batched) unless the stacked
+        # batch would be unreasonably large on device
+        from ..ops.gauss_batched import solve_batched
+
+        rows_max = max(m.shape[0] for m in eq_mats)
+        est_bytes = len(eq_mats) * rows_max * eq_mats[0].shape[1] * 8
+        if est_bytes <= 2 << 30:
+            return solve_batched(eq_mats, cols, mode)
         return [solve_blocked(m, cols, mode) for m in eq_mats]
     a = pack_batch(eq_mats, cols)
     if mesh is not None:
