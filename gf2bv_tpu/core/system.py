@@ -316,6 +316,28 @@ class QuadraticSystem(LinearSystem):
         row = self._mul_bit_rows(a.rows[0], b.rows[0])
         return BitVec(row[None, :], self._nbits)
 
+    def _mul_bit_slow(self, a: BitVec, b: BitVec) -> BitVec:
+        """Obviously-correct big-int cross-check for :meth:`mul_bit`, kept
+        in-library like the reference keeps its slow path
+        (``/root/reference/gf2bv/__init__.py:306-332``): per-monomial
+        Python-int arithmetic, no packing tricks shared with the fast
+        path.  ``mul_bit(a, b).rows == _mul_bit_slow(a, b).rows`` always."""
+        n = self._lin_size
+        (am,) = a._bits
+        (bm,) = b._bits
+        mask = (am & ((1 << (1 + n)) - 1)) & bm  # const + x_i^2 = x_i terms
+        mono = 1 + n
+        for i in range(n):
+            ai = (am >> (1 + i)) & 1
+            bi = (bm >> (1 + i)) & 1
+            for j in range(i):
+                aj = (am >> (1 + j)) & 1
+                bj = (bm >> (1 + j)) & 1
+                if (ai & bj) ^ (aj & bi):
+                    mask |= 1 << mono
+                mono += 1
+        return BitVec([mask], self._nbits)
+
     def lift(self, bv: BitVec) -> BitVec:
         """Embed a purely-linear BitVec (e.g. traced against a plain
         ``LinearSystem([n])`` with the same variable layout) into this

@@ -5,7 +5,7 @@ elimination kernels with increasing communication efficiency."""
 from __future__ import annotations
 
 
-def solve_sharded(eqs, cols: int, mode: int, mesh, k_panel: int = 128):
+def solve_sharded(eqs, cols: int, mode: int, mesh, k_panel: int = 256):
     """Solve one system row-sharded over ``mesh``, picking the algorithm by
     mesh shape: tournament pivoting (one collective per panel) when the
     rows axis actually spans devices, the plain panel-blocked kernel on a

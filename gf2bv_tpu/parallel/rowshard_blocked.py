@@ -169,7 +169,7 @@ def _build(mesh, cols: int, k_panel: int, phase2: str):
 
 
 def rref_rowsharded_blocked(
-    a32: np.ndarray, cols: int, mesh, k_panel: int = 128, phase2: str = "jnp"
+    a32: np.ndarray, cols: int, mesh, k_panel: int = 256, phase2: str = "jnp"
 ):
     """Sharded blocked RREF.  a32: (rows, W32) u32; rows % rows-axis == 0 and
     W32 % (k_panel//32) == 0 are the caller's responsibility (see solve)."""
@@ -199,7 +199,7 @@ def solve_rowsharded_blocked(
     cols: int,
     mode: int,
     mesh,
-    k_panel: int = 128,
+    k_panel: int = 256,
     phase2: str | None = None,
 ):
     """Drop-in replacement for rowshard.solve_rowsharded (same contract),

@@ -164,7 +164,7 @@ def rref_rowsharded_tournament(
     a32: np.ndarray,
     cols: int,
     mesh,
-    k_panel: int = 128,
+    k_panel: int = 256,
     phase2: str = "jnp",
     interpret: bool = False,
     fused_origin: bool = False,
@@ -190,7 +190,7 @@ def solve_rowsharded_tournament(
     cols: int,
     mode: int,
     mesh,
-    k_panel: int = 128,
+    k_panel: int = 256,
     phase2: str | None = None,
     interpret: bool | None = None,
 ):

@@ -38,6 +38,22 @@ def test_mul_bit_vs_reference_formula(n):
         assert got == ref_mul_bit(n, a, b)
 
 
+def test_mul_bit_slow_in_library_oracle():
+    """The always-available slow path must agree with the fast kernel on
+    arbitrary (even affine) operands."""
+    rng = np.random.default_rng(99)
+    qsys = QuadraticSystem([12])
+    nbits = qsys._nbits
+    from gf2bv_tpu import BitVec
+
+    for _ in range(25):
+        a = BitVec([int(rng.integers(0, 1 << 13))], nbits)
+        b = BitVec([int(rng.integers(0, 1 << 13))], nbits)
+        fast = qsys.mul_bit(a, b)
+        slow = qsys._mul_bit_slow(a, b)
+        assert np.array_equal(fast.rows, slow.rows)
+
+
 def test_mul_bit_api():
     qsys = QuadraticSystem([4])
     (x,) = qsys.gens()
