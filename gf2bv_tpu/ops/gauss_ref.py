@@ -95,7 +95,8 @@ def rref_packed(eqs: np.ndarray, nbits: int) -> tuple[np.ndarray, list[int]]:
 
 # above this many packed bits, the uint8 oracle's memory traffic becomes
 # impractical (rows x nbits bytes PER PIVOT); switch to the packed variant
-_PACKED_ORACLE_BITS = 4096
+# (~15 s vs ~1 s per instance at 4000 cols — dominated hardware-fuzz time)
+_PACKED_ORACLE_BITS = 1024
 
 
 def solve_oracle(eqs: np.ndarray, cols: int, mode: int = 1) -> RefSolution:
