@@ -58,9 +58,15 @@ class Expr:
     that influence the COEFFICIENT columns, and the children — but not XOR
     constants, which only touch the affine column and are re-applied per
     solve.  Equal shash => bit-identical coefficient matrix.
+
+    ``aff0`` marks subgraphs whose affine column is provably all-zero
+    (generators are pure-linear; only XOR/OR constants and affine-carrying
+    leaves introduce affine bits).  The per-solve affine interpreter prunes
+    them, so its cost scales with the number of constant-injection sites,
+    not the trace size (~625 nodes instead of ~20k for MT19937).
     """
 
-    __slots__ = ("op", "args", "aux", "width", "nbits", "shash")
+    __slots__ = ("op", "args", "aux", "width", "nbits", "shash", "aff0")
 
     def __init__(self, op, args, aux, width, nbits, hash_aux: bytes):
         self.op = op
@@ -71,6 +77,14 @@ class Expr:
         self.shash = _digest(
             op.encode(), _ints(width), hash_aux, *(a.shash for a in args)
         )
+        if op == "xorc":
+            self.aff0 = args[0].aff0 and aux & ((1 << width) - 1) == 0
+        elif op == "orc":
+            self.aff0 = args[0].aff0 and aux == 0
+        elif op == "leaf":
+            self.aff0 = not bool(np.any(aux.rows[:, 0] & np.uint64(1)))
+        else:
+            self.aff0 = all(a.aff0 for a in args)
 
 
 def _leaf(op, payload, width, nbits, hash_aux):
@@ -180,11 +194,26 @@ def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:
 
 def affine_many(exprs) -> list[int]:
     """The true affine column of each root for THIS instance's constants,
-    as an int bitmask over the root's rows (bit i = affine term of bit i)."""
+    as an int bitmask over the root's rows (bit i = affine term of bit i).
+    Subgraphs with ``aff0`` are pruned (their value is 0 by construction)."""
     memo: dict[int, int] = {}
-    for n in postorder(exprs):
-        memo[id(n)] = _eval_affine(n, [memo[id(a)] for a in n.args])
-    return [memo[id(e)] for e in exprs]
+    seen = set()
+    stack = [(r, False) for r in reversed(exprs) if not r.aff0]
+    while stack:
+        node, expanded = stack.pop()
+        if expanded:
+            memo[id(node)] = _eval_affine(
+                node, [0 if a.aff0 else memo[id(a)] for a in node.args]
+            )
+            continue
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        stack.append((node, True))
+        stack.extend(
+            (ch, False) for ch in reversed(node.args) if not ch.aff0
+        )
+    return [0 if e.aff0 else memo[id(e)] for e in exprs]
 
 
 def _eval_affine(n: Expr, ch: list[int]) -> int:
