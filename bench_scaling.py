@@ -62,6 +62,35 @@ def bench_batched(n_sys=64, rows=512, cols=256, reps=5):
             }
         )
     )
+
+    # device-only rate: batch pre-uploaded, rref + batched origin, one tiny
+    # readback — the number a real host (PCIe, not this dev tunnel) sees;
+    # the native C bar on this workload is ~3.2k solves/s/core (BASELINE.md)
+    import jax.numpy as jnp
+
+    from gf2bv_tpu.ops import extract_device
+
+    a = jnp.asarray(pbatch.pack_batch(mats, cols))
+    r32, pof, _ = pbatch._rref_batched(a, cols)
+    o = extract_device._origin_batch(r32, pof, cols)
+    _ = np.asarray(o[0, :1])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r32, pof, _ = pbatch._rref_batched(a, cols)
+        o = extract_device._origin_batch(r32, pof, cols)
+        _ = np.asarray(o[0, :1])
+        best = min(best, time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": f"batched_device_rate_{cols}cols",
+                "value": round(n_sys / best, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(n_sys / best / 3245, 2),
+            }
+        )
+    )
     return rate
 
 

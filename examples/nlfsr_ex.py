@@ -14,6 +14,7 @@ import gzip
 import itertools
 import pickle
 import secrets
+from pathlib import Path as _Path
 
 import numpy as np
 
