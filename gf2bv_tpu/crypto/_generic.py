@@ -20,8 +20,6 @@ from functools import reduce
 
 from ..core.bitvec import BitVec
 
-Word = "BitVec | int"
-
 
 def select(bit, width: int, mask: int):
     """``mask`` if the LSB of ``bit`` is set, else 0.

@@ -74,9 +74,10 @@ def _build(system, exprs, key) -> _CachedSystem:
     mats = lazy.materialize_many(exprs, strip_consts=True)
     stacked = np.concatenate(mats, axis=0)
     cs.struct_aff = (stacked[:, 0] & np.uint64(1)).astype(np.uint8)
-    coeffs = stacked.copy()
-    coeffs[:, 0] &= ~np.uint64(1)
-    cs.kept_mask = coeffs.any(axis=1)
+    # coefficient-nonzero test without copying the ~50 MB stacked matrix
+    cs.kept_mask = (stacked[:, 0] & ~np.uint64(1)) != 0
+    if stacked.shape[1] > 1:
+        cs.kept_mask |= stacked[:, 1:].any(axis=1)
     cs.kept = np.flatnonzero(cs.kept_mask)
 
     eqs = stacked[cs.kept]  # struct affine bits stay in the matrix
@@ -127,11 +128,7 @@ def _fused1_jax(a, delta, cols):
 def _affine_vector(exprs, widths) -> np.ndarray:
     """Stacked per-row affine bits for THIS instance, (total_rows,) uint8."""
     vals = lazy.affine_many(exprs)
-    parts = []
-    for v, w in zip(vals, widths):
-        nbytes = (w + 7) // 8
-        raw = np.frombuffer(v.to_bytes(nbytes, "little"), dtype=np.uint8)
-        parts.append(np.unpackbits(raw, bitorder="little")[:w])
+    parts = [packing.mask_bits(w, v) for v, w in zip(vals, widths)]
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
 
@@ -142,7 +139,11 @@ def solve_lazy(system, zeros, mode: int):
 
     cols = system._cols
     exprs = [z._expr for z in zeros]
-    key = lazy.struct_key(exprs, extra=lazy._ints(cols))
+    # the backend is part of the key: a cache hit must not override an
+    # explicitly requested backend (or a GF2BV_TPU_BACKEND change)
+    key = lazy.struct_key(
+        exprs, extra=lazy._ints(cols) + _backend_for(system).encode()
+    )
     cs = _CACHE.get(key)
     if cs is None:
         cs = _build(system, exprs, key)

@@ -111,6 +111,12 @@ def quad_rows(
     assert pairs, "at least one product pair required"
     n = system._lin_size
     rows = len(pairs[0][0])
+    for a, b in pairs:
+        if len(a) != rows or len(b) != rows:
+            raise ValueError("Widths must match")  # as mul_bits raises
+    for l_bv in linear:
+        if len(l_bv) != rows:
+            raise ValueError("Widths must match")
     wn32 = 2 * packing.nwords64(1 + n)
     nw32 = 2 * packing.nwords64(system._nbits)
 

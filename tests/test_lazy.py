@@ -146,6 +146,27 @@ def test_solve_lazy_cache_hit_across_instances():
     assert len(lazy_solve._CACHE) == 1  # same structure -> no new entry
 
 
+def test_cache_key_includes_backend():
+    """A structure cached under one backend must not hijack a solve that
+    explicitly requests another."""
+    lazy_solve.clear_cache()
+
+    def zeros_for(backend):
+        lin = LinearSystem([16], backend=backend)
+        (v,) = lin.gens()
+        return lin, [v ^ 0x1234, (v >> 3) ^ 0x0101]
+
+    lin_b, zb = zeros_for("blocked")
+    lin_j, zj = zeros_for("jax")
+    sol_b = lin_b.solve_one(zb)
+    n = len(lazy_solve._CACHE)
+    sol_j = lin_j.solve_one(zj)
+    assert sol_b == sol_j  # RREF unique across backends
+    assert len(lazy_solve._CACHE) == n + 1  # distinct entries per backend
+    kinds = {cs.backend for cs in lazy_solve._CACHE.values()}
+    assert kinds == {"blocked", "jax"}
+
+
 def test_lazy_unsat_paths():
     lin = LinearSystem([8])
     (v,) = lin.gens()
