@@ -72,13 +72,11 @@ class LinearSystem:
         if self._lazy_vars is None:
             from .lazy import LazyBitVec, _digest, _ints
 
-            sizes = tuple(self._sizes)
+            # hash the (possibly long) sizes tuple once, not per generator
+            sizes_digest = _digest(b"gens", _ints(*self._sizes, self._nbits))
             self._lazy_vars = tuple(
                 LazyBitVec.from_eager(
-                    v,
-                    structural_name=_digest(
-                        b"gens", _ints(*sizes, k, self._nbits)
-                    ),
+                    v, structural_name=_digest(sizes_digest, _ints(k))
                 )
                 for k, v in enumerate(self._vars)
             )

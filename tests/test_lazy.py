@@ -204,6 +204,63 @@ def test_lazy_solve_all_matches_eager():
     assert all(magic(*s) == target for s in got)
 
 
+def test_lazy_full_op_surface_matches_eager():
+    """Random op sequences over the ENTIRE recorded surface (including ops
+    no crypto model uses: rotr, zeroext, signext, dup, mod, or-const,
+    fancy/negative indexing) must materialize identically to eager."""
+    rng = random.Random(2024)
+
+    def apply(op_seed, v, width):
+        r = random.Random(op_seed)
+        for _ in range(12):
+            w = len(v)
+            op = r.randrange(12)
+            if op == 0:
+                v = v ^ r.getrandbits(w)
+            elif op == 1:
+                v = v >> r.randrange(0, w + 2)
+            elif op == 2:
+                v = v << r.randrange(0, w + 2)
+            elif op == 3:
+                v = v & r.getrandbits(w)
+            elif op == 4:
+                v = v | r.getrandbits(w)
+            elif op == 5:
+                v = v.rotr(r.randrange(1, w)) if w > 1 else v
+            elif op == 6:
+                v = v.rotl(r.randrange(1, w)) if w > 1 else v
+            elif op == 7:
+                v = v.zeroext(r.randrange(1, 5))
+            elif op == 8:
+                v = v.signext(r.randrange(1, 5))
+            elif op == 9 and w <= 24:
+                v = v.dup(2)
+            elif op == 10:
+                v = v[[r.randrange(-w, w) for _ in range(min(w, 8))]]
+            elif op == 11:
+                v = v.sum().broadcast(0, r.randrange(1, 9))
+            if len(v) > 96:
+                v = v[: 48]
+        return v
+
+    for trial in range(8):
+        seed = rng.getrandbits(32)
+        lin_l = LinearSystem([24])
+        lin_e = LinearSystem([24])
+        (vl,) = lin_l.gens(lazy=True)
+        (ve,) = lin_e.gens(lazy=False)
+        got = apply(seed, vl, 24)
+        want = apply(seed, ve, 24)
+        assert isinstance(got, LazyBitVec), trial
+        assert np.array_equal(got.rows, want.rows), trial
+        # and the affine split must reconstruct the materialized bit0
+        (aff,) = lazy.affine_many([got._expr])
+        bits = (want.rows[:, 0] & np.uint64(1)).astype(np.uint8)
+        assert aff == int.from_bytes(
+            np.packbits(bits, bitorder="little").tobytes(), "little"
+        ), trial
+
+
 def test_lazy_bitvec_is_a_bitvec_everywhere():
     """Inherited eager behaviors must keep working via materialization."""
     lin = LinearSystem([16])
