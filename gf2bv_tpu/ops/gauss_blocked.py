@@ -75,6 +75,12 @@ def apply_rank_k_update(a, s, pf, phase2: str, w0=None):
     (equally correct) full-width update."""
     if phase2 == "skip":  # diagnostics only: times phase 1 alone
         return a
+    if phase2.startswith("mxu2"):
+        from .pallas_update import panel_update_mxu2
+
+        return panel_update_mxu2(
+            a, s, pf, interpret=(phase2 == "mxu2_interpret"), w0=w0
+        )
     if phase2.startswith("mxu"):
         from .pallas_update import panel_update_mxu
 

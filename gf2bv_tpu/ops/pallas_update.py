@@ -66,6 +66,54 @@ def _mxu_kernel(selbits_ref, pfbits_ref, a_ref, out_ref):
     _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
 
 
+def _rank_k_body2(selbits_ref, pfbits2_ref, a_ref, out_ref):
+    """Fused-plane MXU body: the 32 bit planes are laid out along the lane
+    axis (pfbits2: (K, 32*TW) int8, plane-major within the word tile), so
+    the whole tile is ONE (TR, K) x (K, 32*TW) matmul — the MXU streams
+    uninterrupted instead of ping-ponging with the VPU between 32 small
+    matmuls — followed by a single parity/repack pass of static slices."""
+    counts = jnp.dot(
+        selbits_ref[:], pfbits2_ref[:], preferred_element_type=jnp.int32
+    )  # (TR, 32*TW)
+    tw = out_ref.shape[1]
+    packed = jnp.zeros_like(a_ref[:], dtype=jnp.int32)
+    for b in range(32):
+        packed = packed | ((counts[:, b * tw : (b + 1) * tw] & 1) << b)
+    out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
+
+
+def _mxu2_kernel(selbits_ref, pfbits2_ref, a_ref, out_ref):
+    _rank_k_body2(selbits_ref, pfbits2_ref, a_ref, out_ref)
+
+
+def _mxu2_kernel_trailing(w0_ref, selbits_ref, pfbits2_ref, a_ref, out_ref):
+    j = pl.program_id(0)
+    tw = out_ref.shape[1]
+    skip = (j > 0) & ((j + 1) * tw <= w0_ref[0])
+
+    @pl.when(skip)
+    def _copy():
+        out_ref[:] = a_ref[:]
+
+    @pl.when(~skip)
+    def _compute():
+        _rank_k_body2(selbits_ref, pfbits2_ref, a_ref, out_ref)
+
+
+def unpack_pf_planes2(pf, tw: int):
+    """(K, wp) u32 -> (K, wp*32) int8 with columns grouped per word tile as
+    [plane b major, word minor]: column j*(32*tw) + b*tw + w_local."""
+    k, wp = pf.shape
+    nj = wp // tw
+    planes = ((pf[None, :, :] >> _SHIFTS32[:, None, None]) & 1).astype(jnp.int8)
+    # (32, K, wp) -> (32, K, nj, tw) -> (K, nj, 32, tw) -> (K, nj*32*tw)
+    return (
+        planes.reshape(32, k, nj, tw)
+        .transpose(1, 2, 0, 3)
+        .reshape(k, nj * 32 * tw)
+    )
+
+
 # numpy constant: safe to close over inside traced functions (a cached jnp
 # array would leak a tracer across jit scopes)
 _SHIFTS32 = np.arange(32, dtype=np.uint32)
@@ -105,6 +153,50 @@ def _mxu_kernel_trailing(w0_ref, selbits_ref, pfbits_ref, a_ref, out_ref):
     @pl.when(~skip)
     def _compute():
         _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
+
+
+def panel_update_mxu2(a, sel, pf, *, interpret: bool = False, w0=None):
+    """Fused-plane MXU variant (one matmul per tile; see _rank_k_body2)."""
+    rows, wp = a.shape
+    k = pf.shape[0]
+    tw = 128 if wp % 128 == 0 else wp
+    tr = min(TR, rows)
+    grid = (wp // tw, rows // tr)
+    selbits = unpack_sel_bits(sel)
+    pfbits2 = unpack_pf_planes2(pf, tw)
+    data_specs = [
+        pl.BlockSpec((tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (k, 32 * tw), lambda j, i: (0, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * rows * k * wp * 32,
+        bytes_accessed=2 * rows * wp * 4 + rows * k + 32 * k * wp,
+        transcendentals=0,
+    )
+    if w0 is None:
+        return pl.pallas_call(
+            _mxu2_kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+            grid_spec=pl.GridSpec(grid=grid, in_specs=data_specs, out_specs=out_spec),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(selbits, pfbits2, a)
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        _mxu2_kernel_trailing,
+        out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs,
+            out_specs=out_spec,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(w0_arr, selbits, pfbits2, a)
 
 
 def panel_update_mxu(a, sel, pf, *, interpret: bool = False, w0=None):
