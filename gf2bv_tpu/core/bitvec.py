@@ -97,7 +97,11 @@ class BitVec:
             # numpy-style row selection: integer or boolean indexing picks
             # out a sub-bitvector (new capability; no reference analog)
             return self._wrap(self.rows[np.asarray(key)])
-        # wrap single bits to prevent misuse (reference __init__.py:32-37)
+        # wrap single bits to prevent misuse (reference __init__.py:32-37);
+        # out-of-range indices raise like the reference's tuple indexing
+        # (a silent empty slice would drop equations from the trace)
+        if not -len(self) <= key < len(self):
+            raise IndexError(f"bit index {key} out of range for width {len(self)}")
         return self._wrap(self.rows[key : key + 1] if key != -1 else self.rows[-1:])
 
     @classmethod
@@ -136,6 +140,9 @@ class BitVec:
     def __lshift__(self, n: int):
         if n == 0:
             return self
+        # for n >= width the result widens to n zero bits — matching the
+        # reference's tuple arithmetic ((0,)*n + bits[:-n]); asymmetric
+        # with >> (which clamps) but kept for bit-exact trace parity
         pad = np.zeros((n, self.rows.shape[1]), dtype=np.uint64)
         return self._wrap(np.concatenate([pad, self.rows[:-n]], axis=0))
 

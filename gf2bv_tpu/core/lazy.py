@@ -443,6 +443,8 @@ class LazyBitVec(BitVec):
         k = int(key)
         if k < 0:
             k += w
+        if not 0 <= k < w:
+            raise IndexError(f"bit index {key} out of range for width {w}")
         return self._unary("slice", (k, k + 1), 1)
 
     @classmethod

@@ -227,20 +227,12 @@ class LinearSystem:
         from ..parallel.batch import solve_batch_systems
 
         spaces = solve_batch_systems(self, zeros_batch, mode=1, mesh=mesh)
-
-        def gen(space):
-            if space.dimension > max_dimension:
-                raise DimensionTooLargeError(
-                    f"solution space has dimension {space.dimension}, above "
-                    f"the max_dimension={max_dimension} enumeration guard",
-                    space=space,
-                )
-            for s in space:
-                ret = self.convert_sol(s)
-                if ret is not None:
-                    yield ret
-
-        return [None if sp is None else gen(sp) for sp in spaces]
+        # _enumerate_space carries the class's enumeration semantics
+        # (including QuadraticSystem's on-device consistency filter)
+        return [
+            None if sp is None else self._enumerate_space(sp, max_dimension)
+            for sp in spaces
+        ]
 
     # -- interop (replaces the reference's Sage-PNG export, ref :194-212) -----
 
@@ -455,6 +447,22 @@ class QuadraticSystem(LinearSystem):
         # same consistency-filter routing for pre-packed systems
         for sol in self.solve_all_packed(eqs):
             return sol
+
+    def solve_one_batch(self, zeros_batch, mesh=None):
+        """Batched one-point solving.  A raw mode-0 particular solution can
+        fail the quadratic consistency filter (the same pitfall solve_one
+        avoids by routing through solve_all), so each instance solves its
+        space and takes the first CONSISTENT point."""
+        from ..parallel.batch import solve_batch_systems
+
+        spaces = solve_batch_systems(self, zeros_batch, mode=1, mesh=mesh)
+        out = []
+        for sp in spaces:
+            if sp is None:
+                out.append(None)
+                continue
+            out.append(next(self._enumerate_space(sp, 16), None))
+        return out
 
     def evaluate(self, bv: BitVec, sol: tuple[int, ...]) -> int:
         s = 0

@@ -48,7 +48,7 @@ class _CachedSystem:
 def _backend_for(system) -> str:
     from . import solver
 
-    return system._backend or solver._auto_backend(system._cols)
+    return solver._resolve_backend(system._backend, system._cols)
 
 
 def eligible(system, zeros) -> bool:

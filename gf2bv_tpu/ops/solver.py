@@ -11,8 +11,8 @@ Backends:
 * ``blocked`` — panel-blocked elimination (TPU, large systems), gauss_blocked.py
 * ``oracle``  — slow host numpy reference, gauss_ref.py
 
-``auto`` picks blocked for large systems, jax otherwise, and falls back to
-the oracle if JAX is unusable.
+``auto`` (or None) picks blocked for large systems, jax otherwise; unknown
+backend names raise instead of silently running the wrong engine.
 """
 
 from __future__ import annotations
@@ -29,19 +29,30 @@ from ..core.affine import AffineSpace
 # steps; blocking amortizes them _KCOLS at a time).
 _BLOCKED_THRESHOLD = 1024
 
+_BACKENDS = ("jax", "blocked", "native", "oracle")
+
+
+def _resolve_backend(backend: str | None, cols: int) -> str:
+    b = backend or os.environ.get("GF2BV_TPU_BACKEND")
+    if not b or b == "auto":
+        return "blocked" if cols >= _BLOCKED_THRESHOLD else "jax"
+    if b not in _BACKENDS:
+        raise ValueError(
+            f"unknown backend {b!r}; expected one of {('auto',) + _BACKENDS}"
+        )
+    return b
+
 
 def _auto_backend(cols: int) -> str:
-    env = os.environ.get("GF2BV_TPU_BACKEND")
-    if env:
-        return env
-    return "blocked" if cols >= _BLOCKED_THRESHOLD else "jax"
+    """Backward-compat shim: the resolved default backend for ``cols``."""
+    return _resolve_backend(None, cols)
 
 
 def solve(eqs: np.ndarray, cols: int, mode: int, backend: str | None = None):
     """eqs: packed (rows, W64) uint64 over 1+cols bits (bit 0 = const)."""
     from ..utils import profiling
 
-    backend = backend or _auto_backend(cols)
+    backend = _resolve_backend(backend, cols)
     with profiling.phase(f"solve[{backend}]"):
         return _solve(eqs, cols, mode, backend)
 
@@ -57,7 +68,7 @@ def solve_packed(eqs, cols: int, mode: int, backend: str | None = None):
         eqs64 = eqs if eqs.dtype == np.uint64 else packing.from_u32(eqs)
         return solve(eqs64, cols, mode, backend)
 
-    backend = backend or _auto_backend(cols)
+    backend = _resolve_backend(backend, cols)
     from . import extract_device
 
     if backend not in ("blocked", "jax"):

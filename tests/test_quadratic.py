@@ -181,3 +181,42 @@ def test_quadratic_multi_block_sizes():
     sol = qsys.solve_one(zeros)
     assert sol == (secret & 0b11111, secret >> 5)
     assert qsys.evaluate(x, sol) == secret
+
+
+def test_quadratic_solve_one_batch_uses_consistency_filter():
+    """A raw mode-0 point can fail the quadratic filter; solve_one_batch
+    must route through spaces + first-consistent-point like solve_one
+    (the same shape as test_quadratic_solve_small, batched)."""
+    n = 6
+    rng = np.random.default_rng(9)
+    secrets_ = [int(rng.integers(1, 1 << n)) for _ in range(3)]
+
+    qsys = QuadraticSystem([n])
+    (x,) = qsys.gens()
+    batch = []
+    for secret in secrets_:
+        sbits = [(secret >> i) & 1 for i in range(n)]
+        zeros = []
+        for i in range(n):
+            for j in range(i):
+                zeros.append(qsys.mul_bit(x[i], x[j]) ^ (sbits[i] & sbits[j]))
+        zeros.append(x ^ secret)
+        batch.append(zeros)
+
+    got = qsys.solve_one_batch(batch)
+    assert [g for g in got] == [(s,) for s in secrets_]
+
+
+def test_unknown_backend_raises():
+    import pytest as _pytest
+
+    from gf2bv_tpu import LinearSystem
+
+    lin = LinearSystem([8], backend="orcale")
+    (v,) = lin.gens(lazy=False)
+    with _pytest.raises(ValueError, match="unknown backend"):
+        lin.solve_one([v ^ 3])
+    # 'auto' resolves instead of being treated as a backend name
+    lin2 = LinearSystem([8], backend="auto")
+    (w,) = lin2.gens(lazy=False)
+    assert lin2.solve_one([w ^ 3]) == (3,)
