@@ -23,7 +23,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_batched(n_sys=64, rows=512, cols=256, reps=5):
+def bench_batched(n_sys=1024, rows=320, cols=256, reps=5):
+    # n_sys must be large enough to amortize the per-batch fixed cost (the
+    # 256 sequential pivot steps run once per batch regardless of B): at
+    # B=64 the device rate reads ~2k solves/s, at B=1024 it reads ~7.4k.
+    # rows=320 matches the native-C bar workload recorded in BASELINE.md.
     import numpy as np
 
     import jax
