@@ -85,13 +85,31 @@ def bench_batched(n_sys=1024, rows=320, cols=256, reps=5):
         o = extract_device._origin_batch(r32, pof, cols)
         _ = np.asarray(o[0, :1])
         best = min(best, time.perf_counter() - t0)
+    # NOTE on boundaries: this rate is DEVICE-ONLY (batch pre-uploaded,
+    # B-amortized, single-element readback); the 3245 solves/s bar is the
+    # native C engine's END-TO-END single-core rate on the same 320x256
+    # workload (BASELINE.md "native C batch bar").  On this dev tunnel the
+    # upload-inclusive rate is also printed; on a real PCIe host the upload
+    # is sub-ms and e2e ~= device rate.
+    NATIVE_E2E_RATE = 3245.0  # solves/s/core, BASELINE.md round-2 table
+    t0 = time.perf_counter()
+    a2 = jnp.asarray(pbatch.pack_batch(mats, cols))
+    r32, pof, _ = pbatch._rref_batched(a2, cols)
+    o = extract_device._origin_batch(r32, pof, cols)
+    _ = np.asarray(o[0, :1])
+    upload_incl = n_sys / (time.perf_counter() - t0)
     print(
         json.dumps(
             {
                 "metric": f"batched_device_rate_{cols}cols",
                 "value": round(n_sys / best, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(n_sys / best / 3245, 2),
+                "unit": "solves/s (device-only)",
+                "vs_baseline": round(n_sys / best / NATIVE_E2E_RATE, 2),
+                "detail": {
+                    "boundary": "device-only rate vs native C end-to-end "
+                    "single-core rate (3245/s, BASELINE.md)",
+                    "upload_inclusive_rate": round(upload_incl, 1),
+                },
             }
         )
     )

@@ -242,19 +242,25 @@ class LinearSystem:
         bits = packing.unpack_rows(eqs, self._nbits)
         return bits[:, 1:], bits[:, 0]
 
-    def get_sage_mat(self, zeros: Zeros):
-        """Sage interop kept by name (ref :194-212); builds via numpy."""
-        from sage.all import GF, matrix, vector  # type: ignore
+    def get_sage_mat(self, zeros: Zeros, *, _sage=None):
+        """Sage interop kept by name (ref :194-212); builds via numpy.
+
+        ``_sage`` injects the module providing ``GF/matrix/vector`` (testing
+        hook so this path is exercised without a Sage install; defaults to
+        ``sage.all``, raising the usual ImportError when absent)."""
+        if _sage is None:
+            import sage.all as _sage  # type: ignore
 
         a, b = self.get_mat_numpy(zeros)
-        return matrix(GF(2), a), vector(GF(2), b)
+        return _sage.matrix(_sage.GF(2), a), _sage.vector(_sage.GF(2), b)
 
-    def get_sage_mat_slow(self, zeros: Zeros, *, tqdm=lambda x, desc: x):
+    def get_sage_mat_slow(self, zeros: Zeros, *, tqdm=lambda x, desc: x,
+                          _sage=None):
         """Drop-in for the reference's slow path (ref :167-192); the packed
         build makes it as fast as get_sage_mat, the tqdm hook is accepted
         for signature compatibility."""
         del tqdm
-        return self.get_sage_mat(zeros)
+        return self.get_sage_mat(zeros, _sage=_sage)
 
 
 class QuadraticSystem(LinearSystem):
@@ -448,20 +454,34 @@ class QuadraticSystem(LinearSystem):
         for sol in self.solve_all_packed(eqs):
             return sol
 
-    def solve_one_batch(self, zeros_batch, mesh=None):
+    def solve_one_batch(self, zeros_batch, *, max_dimension: int = 16,
+                        mesh=None):
         """Batched one-point solving.  A raw mode-0 particular solution can
         fail the quadratic consistency filter (the same pitfall solve_one
         avoids by routing through solve_all), so each instance solves its
-        space and takes the first CONSISTENT point."""
+        space and takes the first CONSISTENT point.
+
+        An instance whose solution space exceeds ``max_dimension`` raises
+        DimensionTooLargeError annotated with the instance index (and the
+        usual ``.space``) instead of silently discarding the batch — raise
+        ``max_dimension`` or pin bits via ``.space`` to recover, exactly as
+        with :meth:`solve_all`."""
         from ..parallel.batch import solve_batch_systems
 
         spaces = solve_batch_systems(self, zeros_batch, mode=1, mesh=mesh)
         out = []
-        for sp in spaces:
+        for i, sp in enumerate(spaces):
             if sp is None:
                 out.append(None)
                 continue
-            out.append(next(self._enumerate_space(sp, 16), None))
+            try:
+                out.append(
+                    next(self._enumerate_space(sp, max_dimension), None)
+                )
+            except DimensionTooLargeError as e:
+                raise DimensionTooLargeError(
+                    f"batch instance {i}: {e}", space=e.space
+                ) from None
         return out
 
     def evaluate(self, bv: BitVec, sol: tuple[int, ...]) -> int:

@@ -139,10 +139,18 @@ def solve_lazy(system, zeros, mode: int):
 
     cols = system._cols
     exprs = [z._expr for z in zeros]
-    # the backend is part of the key: a cache hit must not override an
-    # explicitly requested backend (or a GF2BV_TPU_BACKEND change)
+    # backend AND the phase-engine env knobs are part of the key: a cache
+    # hit must not keep stale engines after a GF2BV_TPU_BACKEND/PHASE1/
+    # PHASE2 change (the resolved engine names are cached in _CachedSystem)
+    knobs = ":".join(
+        os.environ.get(k, "")
+        for k in ("GF2BV_TPU_PHASE1", "GF2BV_TPU_PHASE2")
+    )
     key = lazy.struct_key(
-        exprs, extra=lazy._ints(cols) + _backend_for(system).encode()
+        exprs,
+        extra=lazy._ints(cols)
+        + _backend_for(system).encode()
+        + knobs.encode(),
     )
     cs = _CACHE.get(key)
     if cs is None:

@@ -82,9 +82,17 @@ def solve_batch(
         # one stacked device program (ops/gauss_batched) unless the stacked
         # batch would be unreasonably large on device
         from ..ops.gauss_batched import solve_batched
+        from ..ops.gauss_blocked import K_PANEL, _ROW_BUCKET
 
+        # estimate from the PADDED dims solve_batched will actually allocate
+        # (rows bucketed to _ROW_BUCKET, words aligned to the pallas lane
+        # width) — the unpadded dims can undershoot several-fold for short
+        # rows / narrow systems and risk a device OOM instead of the loop
         rows_max = max(m.shape[0] for m in eq_mats)
-        est_bytes = len(eq_mats) * rows_max * eq_mats[0].shape[1] * 8
+        rows_pad = max(_ROW_BUCKET, -(-rows_max // _ROW_BUCKET) * _ROW_BUCKET)
+        walign = max(K_PANEL // 32, 128)
+        wp = -(-(2 * eq_mats[0].shape[1]) // walign) * walign
+        est_bytes = len(eq_mats) * rows_pad * wp * 4
         if est_bytes <= 2 << 30:
             return solve_batched(eq_mats, cols, mode)
         return [solve_blocked(m, cols, mode) for m in eq_mats]
