@@ -206,6 +206,22 @@ def bench_mt19937(bs: int = 32):
     log(f"public-API solve_one (warm): {api_s:.3f}s; full user path incl. "
         f"re-trace: {api_full_s:.3f}s")
 
+    # captured-trace path: model recorded ONCE with Param slots; per
+    # instance only the 624 observed words are bound — no Python re-trace
+    # at all (core/capture.py).  This is the real "new outputs -> state"
+    # user path; it shares the device coefficient cache with the direct
+    # solves above (Params hash like literal constants).
+    def mt_model(ws, p):
+        sym = MT19937(list(ws))
+        return [sym.getrandbits(bs) ^ p[i] for i in range(samples)] + [
+            ws[0] ^ 0x80000000
+        ]
+
+    tmpl = lin.capture(mt_model)
+    assert tmpl.solve_one(out) == st  # warm the path
+    tmpl_s = min(_timed(lambda: tmpl.solve_one(out))[0] for _ in range(3))
+    log(f"captured-trace solve_one (full per-instance path): {tmpl_s:.3f}s")
+
     # correctness: reference-style round trip
     s = packing.words_to_int(raw)
     sol = []
@@ -217,14 +233,16 @@ def bench_mt19937(bs: int = 32):
     assert all(rng2.getrandbits(bs) == o for o in out)
     log("round-trip verified")
 
-    return solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s
+    return solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s
 
 
 def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s = bench_mt19937()
+    (
+        solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
+    ) = bench_mt19937()
     print(
         json.dumps(
             {
@@ -236,6 +254,7 @@ def main():
                     "trace_s": round(trace_s, 4),
                     "public_api_solve_one_s": round(api_s, 4),
                     "public_api_full_path_s": round(api_full_s, 4),
+                    "captured_trace_full_path_s": round(tmpl_s, 4),
                     "pipelined_solves_per_s": round(1 / pipe_s, 2),
                     "device_chained_solves_per_s": (
                         round(1 / chain_s, 2) if chain_s else None

@@ -16,6 +16,7 @@ affine-space enumeration.
 
 from .core.affine import AffineSpace
 from .core.bitvec import BitVec
+from .core.capture import CapturedTrace
 from .core.system import (
     DimensionTooLargeError,
     LinearSystem,
@@ -42,6 +43,7 @@ def m4ri_solve(equations, cols: int, mode: int):
 __all__ = [
     "AffineSpace",
     "BitVec",
+    "CapturedTrace",
     "DimensionTooLargeError",
     "LinearSystem",
     "QuadraticSystem",

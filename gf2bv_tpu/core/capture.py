@@ -1,0 +1,152 @@
+"""Capture/bind: run the symbolic model ONCE, re-solve for new instances
+without re-executing any user Python.
+
+The round-2 review measured the real user-facing latency of the public API:
+the device solve is ~0.11 s warm, but every new instance re-ran the Python
+model to rebuild the ~20k-node trace DAG (~0.14 s) before the cached
+structure was even consulted.  This module removes that re-trace entirely:
+
+* ``LinearSystem.capture(fn)`` runs ``fn(gens, params)`` one time; the
+  per-instance constants are ``core.lazy.Param`` placeholders (``params[i]``)
+  instead of literal ints.
+* The recorded DAG is input-independent by construction (XOR constants only
+  touch the affine column — the lazy engine's founding invariant), so a
+  ``CapturedTrace`` re-solve is just: interpret the affine column with the
+  new constants bound (~one int op per constant-reachable node), ship the
+  (rows,) delta, run the fused device solve.
+* Captured traces pickle (iteratively — a 2^14-deep trace chain must not
+  recurse), giving the reference's trace-cache pattern
+  (``/root/reference/examples/nlfsr_ex.py:28-48``) a first-class API instead
+  of a user-side gzip of raw zeros.
+
+Semantics are identical to tracing with literal constants: Params hash like
+literals, so a captured trace shares the device coefficient-matrix cache
+with direct ``solve_one`` calls of the same model.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from . import lazy, packing
+from .affine import AffineSpace
+from .lazy import LazyBitVec, Param, ParamSpace
+
+
+class CapturedTrace:
+    """A recorded zeros list with per-instance constant slots.
+
+    Solve entry points mirror LinearSystem's, taking the instance's constant
+    values (one int per ``params[i]`` slot) instead of a zeros list.
+    """
+
+    def __init__(self, system, zeros, nparams: int):
+        bad = [i for i, z in enumerate(zeros) if not isinstance(z, LazyBitVec)]
+        if bad:
+            raise TypeError(
+                f"capture() model returned non-lazy zeros at {bad[:4]}; "
+                "build zeros from system.gens() (lazy by default) so the "
+                "trace records instead of materializing"
+            )
+        self.system = system
+        self.zeros = list(zeros)
+        self.nparams = nparams
+
+    # -- solving -----------------------------------------------------------
+
+    def _check(self, values: Sequence[int]):
+        if len(values) < self.nparams:
+            raise ValueError(
+                f"captured trace has {self.nparams} param slots; "
+                f"got {len(values)} values"
+            )
+        return values
+
+    def _solve_internal(self, values: Sequence[int], mode: int):
+        from ..ops import lazy_solve, solver
+
+        values = self._check(values)
+        if lazy_solve.eligible(self.system, self.zeros):
+            return lazy_solve.solve_lazy(
+                self.system, self.zeros, mode, env=values
+            )
+        # host backends (native/oracle): materialize coefficients once and
+        # patch the affine column per instance
+        eqs = self._eqs_with_env(values)
+        lit_one = (eqs[:, 0] == 1) & ~eqs[:, 1:].any(axis=1)
+        if lit_one.any():
+            return None
+        eqs = eqs[eqs.any(axis=1)]
+        return solver.solve(
+            eqs, self.system._cols, mode, backend=self.system._backend
+        )
+
+    def _eqs_with_env(self, values) -> np.ndarray:
+        exprs = [z._expr for z in self.zeros]
+        if not hasattr(self, "_coeff"):
+            mats = lazy.materialize_many(exprs, strip_consts=True)
+            self._coeff = np.concatenate(mats, axis=0)
+            self._widths = [e.width for e in exprs]
+        from ..ops.lazy_solve import _affine_vector
+
+        aff = _affine_vector(exprs, self._widths, values)
+        eqs = self._coeff.copy()
+        eqs[:, 0] = (eqs[:, 0] & ~np.uint64(1)) | aff.astype(np.uint64)
+        return eqs
+
+    def solve_raw_one(self, values: Sequence[int]) -> Optional[int]:
+        return self._solve_internal(values, 0)
+
+    def solve_raw_space(self, values: Sequence[int]) -> Optional[AffineSpace]:
+        return self._solve_internal(values, 1)
+
+    def solve_one(self, values: Sequence[int]):
+        sol = self._solve_internal(values, 0)
+        if sol is None:
+            return
+        return self.system.convert_sol(sol)
+
+    def solve_all(self, values: Sequence[int], *, max_dimension: int = 16):
+        space = self._solve_internal(values, 1)
+        if space is None:
+            return
+        yield from self.system._enumerate_space(space, max_dimension)
+
+    # -- pickling (the reference's trace-cache pattern) --------------------
+
+    def __getstate__(self):
+        return {
+            "system": self.system,
+            "dag": lazy.dag_to_state([z._expr for z in self.zeros]),
+            "nparams": self.nparams,
+        }
+
+    def __setstate__(self, state):
+        self.system = state["system"]
+        self.zeros = [LazyBitVec(e) for e in lazy.dag_from_state(state["dag"])]
+        self.nparams = state["nparams"]
+
+    def __repr__(self) -> str:
+        return (
+            f"CapturedTrace(zeros={len(self.zeros)}, "
+            f"nparams={self.nparams}, cols={self.system._cols})"
+        )
+
+
+def capture(system, fn: Callable) -> CapturedTrace:
+    """Record ``fn(gens, params)``'s zeros list as a reusable trace.
+
+    ``gens`` are the system's lazy generators; ``params[i]`` produces the
+    placeholder for the i-th per-instance constant — XOR it where the
+    concrete output word would go:
+
+        tmpl = lin.capture(lambda ws, p:
+            [trace_word(ws, k) ^ p[k] for k in range(n)])
+        sol  = tmpl.solve_one(observed_words)      # no Python re-trace
+    """
+    params = ParamSpace()
+    gens = system.gens(lazy=True)
+    zeros = list(fn(gens, params))
+    return CapturedTrace(system, zeros, params.count)

@@ -51,6 +51,53 @@ def _bigint(v: int) -> bytes:
     return v.to_bytes((v.bit_length() + 7) // 8 or 1, "little")
 
 
+class Param:
+    """Placeholder for a per-instance XOR constant in a captured trace.
+
+    XOR-with-constant is the only way per-instance data enters a GF(2)
+    linear trace (it touches nothing but the affine column), so a DAG
+    recorded once with Params can be re-solved for new constants WITHOUT
+    re-running the user's model — the TPU-era version of the reference's
+    pickled-trace reuse pattern
+    (``/root/reference/examples/nlfsr_ex.py:28-48``).  Structure hashes
+    deliberately treat a Param exactly like a literal constant, so a
+    captured trace and a direct trace of the same model share the device
+    coefficient-matrix cache.
+    """
+
+    __slots__ = ("index",)
+
+    def __init__(self, index: int):
+        self.index = index
+
+    def bind(self, env) -> int:
+        try:
+            return int(env[self.index])
+        except (IndexError, TypeError, KeyError):
+            raise ValueError(
+                f"captured trace needs a value for param {self.index}; "
+                f"got {len(env) if env is not None else 0} values"
+            ) from None
+
+    def __repr__(self) -> str:
+        return f"Param({self.index})"
+
+
+class ParamSpace:
+    """Factory handed to ``LinearSystem.capture``'s model function: each
+    ``p[i]`` names the i-th per-instance constant slot."""
+
+    def __init__(self):
+        self.count = 0
+
+    def __getitem__(self, i: int) -> Param:
+        i = int(i)
+        if i < 0:
+            raise IndexError("param indices must be >= 0")
+        self.count = max(self.count, i + 1)
+        return Param(i)
+
+
 class Expr:
     """One node of the recorded trace.
 
@@ -78,7 +125,11 @@ class Expr:
             op.encode(), _ints(width), hash_aux, *(a.shash for a in args)
         )
         if op == "xorc":
-            self.aff0 = args[0].aff0 and aux & ((1 << width) - 1) == 0
+            self.aff0 = (
+                not isinstance(aux, Param)
+                and args[0].aff0
+                and aux & ((1 << width) - 1) == 0
+            )
         elif op == "orc":
             self.aff0 = args[0].aff0 and aux == 0
         elif op == "leaf":
@@ -111,6 +162,44 @@ def postorder(roots):
 def struct_key(exprs, extra: bytes = b"") -> bytes:
     """Cache key for a zeros list: per-zero structural hashes + widths."""
     return _digest(extra, *(e.shash + _ints(e.width) for e in exprs))
+
+
+def dag_to_state(exprs):
+    """Flatten a DAG to a picklable (nodes, roots) pair — iterative, so
+    pickling never recurses through a 2^14-step trace chain."""
+    order = list(postorder(exprs))
+    idx = {id(n): i for i, n in enumerate(order)}
+    nodes = [
+        (
+            n.op,
+            tuple(idx[id(a)] for a in n.args),
+            n.aux,
+            n.width,
+            n.nbits,
+            n.shash,
+            n.aff0,
+        )
+        for n in order
+    ]
+    return nodes, [idx[id(e)] for e in exprs]
+
+
+def dag_from_state(state):
+    """Rebuild root Exprs from :func:`dag_to_state` output (shash/aff0 are
+    restored verbatim, not recomputed)."""
+    nodes, roots = state
+    built: list[Expr] = []
+    for op, args, aux, width, nbits, shash, aff0 in nodes:
+        n = Expr.__new__(Expr)
+        n.op = op
+        n.args = tuple(built[i] for i in args)
+        n.aux = aux
+        n.width = width
+        n.nbits = nbits
+        n.shash = shash
+        n.aff0 = aff0
+        built.append(n)
+    return [built[i] for i in roots]
 
 
 # --------------------------------------------------------------------------
@@ -153,7 +242,14 @@ def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:
     if op == "xor":
         return a ^ ch[1]
     if op == "xorc":
-        return a if strip else a ^ n.aux
+        if strip:
+            return a
+        if isinstance(n.aux, Param):
+            raise ValueError(
+                "cannot materialize a captured trace with unbound Params; "
+                "solve through CapturedTrace.solve_*(values)"
+            )
+        return a ^ n.aux
     if op == "and":
         return a & n.aux
     if op == "orc":
@@ -192,10 +288,12 @@ def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:
 # --------------------------------------------------------------------------
 # affine column interpreter (one Python int bitmask per node)
 
-def affine_many(exprs) -> list[int]:
+def affine_many(exprs, env=None) -> list[int]:
     """The true affine column of each root for THIS instance's constants,
     as an int bitmask over the root's rows (bit i = affine term of bit i).
-    Subgraphs with ``aff0`` are pruned (their value is 0 by construction)."""
+    Subgraphs with ``aff0`` are pruned (their value is 0 by construction).
+    ``env`` binds Param placeholders (captured traces) to this instance's
+    constants."""
     memo: dict[int, int] = {}
     seen = set()
     stack = [(r, False) for r in reversed(exprs) if not r.aff0]
@@ -203,7 +301,7 @@ def affine_many(exprs) -> list[int]:
         node, expanded = stack.pop()
         if expanded:
             memo[id(node)] = _eval_affine(
-                node, [0 if a.aff0 else memo[id(a)] for a in node.args]
+                node, [0 if a.aff0 else memo[id(a)] for a in node.args], env
             )
             continue
         if id(node) in seen:
@@ -216,7 +314,7 @@ def affine_many(exprs) -> list[int]:
     return [0 if e.aff0 else memo[id(e)] for e in exprs]
 
 
-def _eval_affine(n: Expr, ch: list[int]) -> int:
+def _eval_affine(n: Expr, ch: list[int], env=None) -> int:
     op = n.op
     w = n.width
     wmask = (1 << w) - 1
@@ -230,7 +328,8 @@ def _eval_affine(n: Expr, ch: list[int]) -> int:
     if op == "xor":
         return a ^ ch[1]
     if op == "xorc":
-        return a ^ (n.aux & wmask)
+        c = n.aux.bind(env) if isinstance(n.aux, Param) else n.aux
+        return a ^ (c & wmask)
     if op == "and":
         return a & n.aux
     if op == "orc":
@@ -356,8 +455,10 @@ class LazyBitVec(BitVec):
                 raise ValueError(f"BitVec width mismatch: {w} vs {len(other)}")
             oe = self._as_expr(other)
             return self._node("xor", (self._expr, oe), None, w, b"")
-        # XOR with a Python int: affine-only, excluded from the hash
-        return self._node("xorc", (self._expr,), int(other), w, b"")
+        # XOR with a Python int (or a captured-trace Param placeholder):
+        # affine-only, excluded from the structural hash either way
+        aux = other if isinstance(other, Param) else int(other)
+        return self._node("xorc", (self._expr,), aux, w, b"")
 
     __rxor__ = __xor__
     __pow__ = __xor__

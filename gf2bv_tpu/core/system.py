@@ -85,6 +85,15 @@ class LinearSystem:
     def __reduce__(self):
         return (self.__class__, (self._sizes, self._backend))
 
+    def capture(self, fn):
+        """Record ``fn(gens, params)`` once; re-solve for new per-instance
+        constants with NO Python re-trace (core/capture.py).  The TPU-era
+        form of the reference's pickled-trace reuse
+        (``/root/reference/examples/nlfsr_ex.py:28-48``)."""
+        from .capture import capture as _capture
+
+        return _capture(self, fn)
+
     @property
     def cols(self) -> int:
         return self._cols

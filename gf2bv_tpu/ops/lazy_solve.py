@@ -125,15 +125,16 @@ def _fused1_jax(a, delta, cols):
     return rref_device(a.at[:, 0].set(a[:, 0] ^ delta), cols)
 
 
-def _affine_vector(exprs, widths) -> np.ndarray:
+def _affine_vector(exprs, widths, env=None) -> np.ndarray:
     """Stacked per-row affine bits for THIS instance, (total_rows,) uint8."""
-    vals = lazy.affine_many(exprs)
+    vals = lazy.affine_many(exprs, env)
     parts = [packing.mask_bits(w, v) for v, w in zip(vals, widths)]
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
 
-def solve_lazy(system, zeros, mode: int):
-    """The fused fast path.  Same return contract as ops.solver.solve."""
+def solve_lazy(system, zeros, mode: int, env=None):
+    """The fused fast path.  Same return contract as ops.solver.solve.
+    ``env`` binds captured-trace Params (core/lazy.Param) per instance."""
     from .gauss_blocked import K_PANEL
     from . import extract_device
 
@@ -158,7 +159,7 @@ def solve_lazy(system, zeros, mode: int):
     else:
         _CACHE.move_to_end(key)
 
-    aff = _affine_vector(exprs, cs.widths)
+    aff = _affine_vector(exprs, cs.widths, env)
     # a dropped (zero-coefficient) row with its affine bit set is the
     # literal 1 -> unsatisfiable before any device work (ref :231-233)
     if np.any(aff & ~cs.kept_mask):

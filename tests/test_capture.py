@@ -1,0 +1,180 @@
+"""Capture/bind (re-trace-free solving): a model recorded once with Param
+placeholders must solve every instance bit-identically to a fresh direct
+trace, without re-running the model (VERDICT r2 item 1)."""
+
+import pickle
+import random
+
+import numpy as np
+import pytest
+
+from gf2bv_tpu import CapturedTrace, LinearSystem
+from gf2bv_tpu.core.lazy import Param, ParamSpace
+from gf2bv_tpu.crypto.lfsr import FibonacciLFSR, GaloisLFSR
+from gf2bv_tpu.crypto.xoshiro import Xoshiro256starstar
+
+MASK = 0xD670201BAC7515352A273372B2A95B23 & ((1 << 64) - 1)
+
+
+def _lfsr_template(LFSR, n=64, nout=96):
+    lin = LinearSystem([n])
+
+    def model(gens, p):
+        (s0,) = gens
+        reg = LFSR(n, MASK, s0)
+        return [reg() ^ p[i] for i in range(nout)]
+
+    return lin, lin.capture(model)
+
+
+def _lfsr_outputs(LFSR, init, n=64, nout=96):
+    reg = LFSR(n, MASK, init)
+    return [reg() for _ in range(nout)]
+
+
+@pytest.mark.parametrize("LFSR", [GaloisLFSR, FibonacciLFSR])
+def test_captured_lfsr_matches_direct_solve_across_instances(LFSR):
+    lin, tmpl = _lfsr_template(LFSR)
+    rnd = random.Random(42)
+    for _ in range(3):
+        init = rnd.getrandbits(64) | 1
+        outs = _lfsr_outputs(LFSR, init)
+        # no re-trace: only the values are bound
+        assert tmpl.solve_one(outs) == (init,)
+
+        # bit-identical to a fresh direct trace
+        (s0,) = lin.gens()
+        reg = LFSR(64, MASK, s0)
+        direct = lin.solve_one([reg() ^ o for o in outs])
+        assert direct == (init,)
+
+
+def test_captured_solve_all_space_matches_direct():
+    lin = LinearSystem([16])
+
+    def model(gens, p):
+        (v,) = gens
+        # 12 constraints -> dim-4 space
+        return [v[i] ^ v[i + 4] ^ p[i] for i in range(12)]
+
+    tmpl = lin.capture(model)
+    rnd = random.Random(7)
+    secret = rnd.getrandbits(16)
+    vals = [((secret >> i) ^ (secret >> (i + 4))) & 1 for i in range(12)]
+
+    space_t = tmpl.solve_raw_space(vals)
+    (v,) = lin.gens()
+    space_d = lin.solve_raw_space([v[i] ^ v[i + 4] ^ c for i, c in enumerate(vals)])
+    assert space_t.dimension == space_d.dimension
+    assert space_t.origin == space_d.origin
+    assert space_t.basis == space_d.basis
+    assert set(tmpl.solve_all(vals)) == set(
+        lin.solve_all([v[i] ^ v[i + 4] ^ c for i, c in enumerate(vals)])
+    )
+
+
+def test_captured_unsat_returns_none():
+    lin = LinearSystem([8])
+
+    def model(gens, p):
+        (v,) = gens
+        return [v[0] ^ p[0], v[0] ^ p[1]]
+
+    tmpl = lin.capture(model)
+    assert tmpl.solve_one([0, 1]) is None  # v0=0 AND v0=1
+    assert tmpl.solve_one([1, 1]) == (1,)
+    # literal-1 early-out: a dropped zero-coefficient row with affine bit
+    def model2(gens, p):
+        (v,) = gens
+        return [v[0] ^ v[0] ^ p[0], v ^ p[1]]
+
+    tmpl2 = lin.capture(model2)
+    assert tmpl2.solve_one([1, 5]) is None
+    assert tmpl2.solve_one([0, 5]) == (5,)
+
+
+def test_captured_trace_pickles_iteratively():
+    # a trace chain much deeper than the recursion limit
+    lin = LinearSystem([32])
+
+    def model(gens, p):
+        (v,) = gens
+        acc = v
+        for i in range(3000):
+            acc = (acc >> 1) ^ (acc & 0x7FFFFFFF) ^ ((i * 7) & 1)
+        return [acc ^ p[0]]
+
+    tmpl = lin.capture(model)
+    blob = pickle.dumps(tmpl)
+    tmpl2 = pickle.loads(blob)
+    assert isinstance(tmpl2, CapturedTrace)
+    assert tmpl2.nparams == 1
+    val = 0xDEADBEEF
+    # both templates must agree with each other exactly
+    assert tmpl.solve_raw_one([val]) == tmpl2.solve_raw_one([val])
+    # and with the direct trace
+    (v,) = lin.gens()
+    acc = v
+    for i in range(3000):
+        acc = (acc >> 1) ^ (acc & 0x7FFFFFFF) ^ ((i * 7) & 1)
+    assert tmpl2.solve_raw_one([val]) == lin.solve_raw_one([acc ^ val])
+
+
+def test_captured_xoshiro_roundtrip():
+    lin = LinearSystem([64] * 4)
+
+    def model(gens, p):
+        x = Xoshiro256starstar(list(gens))
+        return [x.step() ^ p[i] for i in range(10)]
+
+    tmpl = lin.capture(model)
+    rnd = random.Random(3)
+    st = [rnd.getrandbits(64) for _ in range(4)]
+    x = Xoshiro256starstar(list(st))
+    outs = [x() for _ in range(10)]
+    helper = Xoshiro256starstar([0, 0, 0, 0])
+    pre = [helper.untemper(o) for o in outs]
+    assert tmpl.solve_one(pre) == tuple(st)
+
+
+def test_param_errors():
+    lin = LinearSystem([8])
+    tmpl = lin.capture(lambda g, p: [g[0] ^ p[0], g[0][:4] ^ p[2]])
+    assert tmpl.nparams == 3
+    with pytest.raises(ValueError, match="3 param slots"):
+        tmpl.solve_one([1, 2])
+    # unbound materialization is refused with a clear message
+    with pytest.raises(ValueError, match="unbound Param"):
+        _ = tmpl.zeros[0].rows
+    # eager zeros are rejected at capture time
+    with pytest.raises(TypeError, match="non-lazy"):
+        CapturedTrace(lin, [lin.gens(lazy=False)[0]], 0)
+
+    ps = ParamSpace()
+    assert isinstance(ps[5], Param)
+    assert ps.count == 6
+    with pytest.raises(IndexError):
+        ps[-1]
+
+
+def test_oracle_backend_fallback_path():
+    lin = LinearSystem([24], backend="oracle")
+
+    def model(gens, p):
+        (v,) = gens
+        reg = GaloisLFSR(24, 0b110010101, v)
+        zs = [reg() ^ p[i] for i in range(40)]
+        # duplicated parity row with its own slot: binding different values
+        # to p[40] and p[41] makes the instance provably unsatisfiable
+        zs.append(v.sum() ^ p[40])
+        zs.append(v.sum() ^ p[41])
+        return zs
+
+    tmpl = lin.capture(model)
+    init = 0x8AF31D
+    reg = GaloisLFSR(24, 0b110010101, init)
+    outs = [reg() for _ in range(40)]
+    par = bin(init).count("1") & 1
+    assert tmpl.solve_one(outs + [par, par]) == (init,)
+    # unsat through the fallback path too: contradictory duplicate rows
+    assert tmpl.solve_one(outs + [par, par ^ 1]) is None
