@@ -130,6 +130,9 @@ class Expr:
                 and args[0].aff0
                 and aux & ((1 << width) - 1) == 0
             )
+        elif op == "mulq":
+            # product affine bit = affA & affB: zero if EITHER side is
+            self.aff0 = args[0].aff0 or args[1].aff0
         elif op == "orc":
             self.aff0 = args[0].aff0 and aux == 0
         elif op == "leaf":
@@ -214,8 +217,28 @@ def materialize_many(exprs, strip_consts: bool = False):
     e.g. from OR-with-constant, are kept).  Intermediate results are freed
     as soon as their last consumer is evaluated, so peak memory tracks the
     trace's live working set, not the DAG size.
+
+    Quadratic product nodes (``mulq``) are evaluated in one BATCHED
+    ``mul_bits`` call per system instead of one per-row monomial expansion
+    each — the reference's per-bit idiom (examples/nlfsr.py:49-57) then
+    materializes ~3x faster than row-at-a-time.
     """
     order = list(postorder(exprs))
+    prememo = _batch_mulq(order, strip_consts)
+    if prememo:
+        # prememo'd nodes (and everything only THEY reach) are done: walk
+        # only what is reachable from the roots without entering them — the
+        # heavy shared chain below the products is never walked twice
+        needed: set[int] = set()
+        stack = list(exprs)
+        while stack:
+            nd = stack.pop()
+            if id(nd) in needed or id(nd) in prememo:
+                continue
+            needed.add(id(nd))
+            stack.extend(nd.args)
+        order = [n for n in order if id(n) in needed]
+
     nconsumers: dict[int, int] = {}
     for n in order:
         for ch in n.args:
@@ -225,22 +248,110 @@ def materialize_many(exprs, strip_consts: bool = False):
 
     memo: dict[int, BitVec] = {}
     for n in order:
-        ch = [memo[id(a)] for a in n.args]
+        ch = [
+            prememo[id(a)] if id(a) in prememo else memo[id(a)]
+            for a in n.args
+        ]
         memo[id(n)] = _eval_coeff(n, ch, strip_consts)
         for a in n.args:
-            nconsumers[id(a)] -= 1
-            if nconsumers[id(a)] == 0:
-                del memo[id(a)]
-    return [memo[id(e)].rows for e in exprs]
+            aid = id(a)
+            if aid in prememo:
+                continue  # prememo entries are tiny; keep them
+            nconsumers[aid] -= 1
+            if nconsumers[aid] == 0:
+                del memo[aid]
+    return [
+        (prememo[id(e)] if id(e) in prememo else memo[id(e)]).rows
+        for e in exprs
+    ]
+
+
+def _batch_mulq(order, strip_consts: bool, min_batch: int = 8):
+    """Pre-evaluate mulq nodes whose operands contain no nested mulq: one
+    shared walk over all operands, then ONE vectorized ``mul_bits`` per
+    quadratic system.  Returns {id(node): BitVec} to seed the main walk."""
+    has_mulq: dict[int, bool] = {}
+    for n in order:
+        has_mulq[id(n)] = n.op == "mulq" or any(
+            has_mulq[id(a)] for a in n.args
+        )
+    flat = [
+        n
+        for n in order
+        if n.op == "mulq" and not any(has_mulq[id(a)] for a in n.args)
+    ]
+    if len(flat) < min_batch:
+        return {}
+    operands = []
+    seen = {}
+    for n in flat:
+        for a in n.args:
+            if id(a) not in seen:
+                seen[id(a)] = len(operands)
+                operands.append(a)
+    mats = materialize_many(operands, strip_consts)
+    # seed the operands too: they usually reappear as linear terms of the
+    # same zeros (e.g. the annihilator's x0 ^ x1 ^ x2 tail), and seeding
+    # them stops the main walk from re-walking the shared chain
+    out: dict[int, BitVec] = {
+        id(a): BitVec(mats[seen[id(a)]], a.nbits) for a in operands
+    }
+    by_sys: dict[int, list] = {}
+    for n in flat:
+        by_sys.setdefault(id(n.aux), []).append(n)
+    for group in by_sys.values():
+        qsys = group[0].aux
+        nw_lin = -(-(1 + qsys._lin_size) // 64)
+        a_rows = np.stack([mats[seen[id(n.args[0])]][0][:nw_lin] for n in group])
+        b_rows = np.stack([mats[seen[id(n.args[1])]][0][:nw_lin] for n in group])
+        prod = qsys.mul_bits(
+            BitVec(a_rows, 1 + qsys._lin_size),
+            BitVec(b_rows, 1 + qsys._lin_size),
+        )
+        for k, n in enumerate(group):
+            out[id(n)] = BitVec(prod.rows[k : k + 1], n.nbits)
+    return out
+
+
+def _promote(a: BitVec, b: BitVec):
+    """Zero-pad the narrower of two packed BitVecs to a common word count.
+
+    Quadratic traces mix widths by design: linear subgraphs stay at the
+    narrow linear-columns-only width, and only ``mulq`` nodes produce
+    full-monomial-width rows (quad columns of a linear row are zero, so
+    padding is exact)."""
+    wa, wb = a.rows.shape[1], b.rows.shape[1]
+    if wa == wb:
+        return a, b
+    if wa < wb:
+        return BitVec(_pad_words(a.rows, wb), b.nbits), b
+    return a, BitVec(_pad_words(b.rows, wa), a.nbits)
+
+
+def _pad_words(rows: np.ndarray, w: int) -> np.ndarray:
+    # manual zero-extend: np.pad's generic machinery costs ~70us/call and
+    # the quadratic XOR tails call this once per traced output bit
+    out = np.zeros((rows.shape[0], w), dtype=rows.dtype)
+    out[:, : rows.shape[1]] = rows
+    return out
 
 
 def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:
     op = n.op
     if op == "leaf":
         return n.aux
+    if op == "mulq":
+        # degree-2 product row (QuadraticSystem.mul_bit): the coefficient
+        # columns depend only on the operands' coefficient columns and the
+        # struct-affine bit is structA & structB, so the strip-consts
+        # invariant extends to quadratic traces unchanged
+        qsys = n.aux
+        row = qsys._mul_bit_rows(ch[0].rows[0], ch[1].rows[0])
+        return BitVec(row[None, :], n.nbits)
     a = ch[0]
     if op == "xor":
-        return a ^ ch[1]
+        a, b = _promote(a, ch[1])
+        return a ^ b
     if op == "xorc":
         if strip:
             return a
@@ -275,12 +386,17 @@ def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:
     if op == "dup":
         return a.dup(n.aux)
     if op == "concat":
-        return a.concat(ch[1])
+        a, b = _promote(a, ch[1])
+        return a.concat(b)
     if op == "slice":
         return a[n.aux[0] : n.aux[1]]
     if op == "take":
         return a[np.asarray(n.aux, dtype=np.int64)]
     if op == "stack":
+        wide = max(c.rows.shape[1] for c in ch)
+        if any(c.rows.shape[1] != wide for c in ch):
+            ref = next(c for c in ch if c.rows.shape[1] == wide)
+            ch = [_promote(c, ref)[0] for c in ch]
         return BitVec.stack(ch)
     raise AssertionError(f"unknown op {op}")
 
@@ -324,6 +440,8 @@ def _eval_affine(n: Expr, ch: list[int], env=None) -> int:
         return int.from_bytes(
             np.packbits(bits, bitorder="little").tobytes(), "little"
         )
+    if op == "mulq":
+        return ch[0] & ch[1]
     a = ch[0]
     if op == "xor":
         return a ^ ch[1]

@@ -122,6 +122,15 @@ class LinearSystem:
                 blocks.append(packing.int_to_words(bv, self._nbits)[None, :])
         if not blocks:
             return np.zeros((0, self._nw), dtype=np.uint64)
+        # quadratic lazy traces materialize linear rows at the narrow
+        # (linear-columns-only) width; pad to the system's full word count
+        if any(b.shape[1] != self._nw for b in blocks):
+            blocks = [
+                b
+                if b.shape[1] == self._nw
+                else np.pad(b, ((0, 0), (0, self._nw - b.shape[1])))
+                for b in blocks
+            ]
         mat = np.concatenate(blocks, axis=0)
         return mat[mat.any(axis=1)]
 
@@ -285,15 +294,41 @@ class QuadraticSystem(LinearSystem):
         self._tri_i, self._tri_j = np.tril_indices(n, k=-1)
 
     def gens(self, *, lazy: bool | None = None):
-        # default EAGER here: quadratic consumers (mul_bit/bit_assert)
-        # materialize per produced bit, so a lazy state chain would re-walk
-        # its shared trace prefix on every call (O(steps^2)).  The fast
-        # quadratic idiom traces taps against a narrow LinearSystem (which
-        # stays lazy) and batches products via mul_bits — see
-        # examples/nlfsr.py.
+        """Lazy by default, like LinearSystem: ``mul_bit``/``bit_assert`` on
+        lazy bits RECORD ``mulq`` nodes, so the reference's own idiom — a
+        Python loop multiplying state bits per output
+        (``/root/reference/examples/nlfsr.py:49-57``) — is evaluated in ONE
+        shared walk at solve time instead of re-walking the trace prefix
+        per produced bit (the round-2 O(steps^2) hazard).  Lazy generators
+        are NARROW (linear columns only); quad columns enter the DAG
+        exclusively through mulq nodes and linear rows are zero-padded on
+        materialization (core/lazy._promote)."""
+        import os
+
         if lazy is None:
-            lazy = False
-        return super().gens(lazy=lazy)[:-1]
+            lazy = os.environ.get("GF2BV_TPU_LAZY", "1") != "0"
+        if not lazy:
+            return self._vars[:-1]
+        if self._lazy_vars is None:
+            from .lazy import LazyBitVec, _digest, _ints
+
+            nb = 1 + self._lin_size
+            sizes_digest = _digest(
+                b"qgens", _ints(*self._quad_sizes, self._nbits)
+            )
+            out = []
+            i = 1
+            for k, size in enumerate(self._quad_sizes):
+                rows = packing.bit_rows(nb, np.arange(i, i + size))
+                out.append(
+                    LazyBitVec.from_eager(
+                        BitVec(rows, nb),
+                        structural_name=_digest(sizes_digest, _ints(k)),
+                    )
+                )
+                i += size
+            self._lazy_vars = tuple(out)
+        return self._lazy_vars
 
     def __reduce__(self):
         return (self.__class__, (self._quad_sizes, self._backend))
@@ -318,6 +353,21 @@ class QuadraticSystem(LinearSystem):
     def mul_bit(self, a: BitVec, b: BitVec) -> BitVec:
         if len(a) != 1 or len(b) != 1:
             raise ValueError("mul_bit operands must be 1-bit BitVecs")
+        from .lazy import Expr, LazyBitVec, _ints
+
+        if isinstance(a, LazyBitVec) or isinstance(b, LazyBitVec):
+            # record instead of materializing: the whole zeros list then
+            # evaluates in one shared walk at solve time (ref idiom
+            # examples/nlfsr.py:49-57 without the O(steps^2) re-walks)
+            expr = Expr(
+                "mulq",
+                (LazyBitVec._as_expr(a), LazyBitVec._as_expr(b)),
+                self,
+                1,
+                self._nbits,
+                _ints(self._lin_size, self._nbits),
+            )
+            return LazyBitVec(expr)
         row = self._mul_bit_rows(a.rows[0], b.rows[0])
         return BitVec(row[None, :], self._nbits)
 
@@ -399,11 +449,34 @@ class QuadraticSystem(LinearSystem):
 
     def bit_assert(self, a: BitVec, v: int) -> list[BitVec]:
         """Consistency equations pinning bit ``a`` to constant ``v``
-        (ref :345-368): a ^ v plus a*b_i = v*b_i for every linear basis bit."""
+        (ref :345-368): a ^ v plus a*b_i = v*b_i for every linear basis bit.
+        Lazy targets stay lazy: the products are recorded mulq nodes, so a
+        guess sweep (nlfsr_ex) keeps the device-cached solve path."""
         if len(a) != 1:
             raise ValueError("bit_assert target must be a 1-bit BitVec")
+        from .lazy import LazyBitVec
+
+        if isinstance(a, LazyBitVec):
+            return self._bit_assert_lazy(a, v)
         rows = self._bit_assert_rows(a.rows[0], v)
         return [BitVec(r[None, :], self._nbits) for r in rows]
+
+    def _bit_assert_lazy(self, a, v: int) -> list[BitVec]:
+        n = self._lin_size
+        assert v in (0, 1), "Invalid bit"
+        am = packing.words_to_int(a.rows[0])  # one prefix walk, cached
+        assert am >> 1 != 0, "a should not be a constant"
+        assert am >> (1 + n) == 0, "Not a linear term"
+        zeros = [a ^ v]
+        for i in range(1, 1 + n):
+            if am == (1 << i):  # a IS basis bit i
+                continue
+            brow = BitVec(
+                packing.bit_rows(1 + n, np.array([i])), 1 + n
+            )
+            prod = self.mul_bit(a, brow)
+            zeros.append(prod if v == 0 else prod ^ brow)
+        return zeros
 
     # -- solution filtering ------------------------------------------------------
 

@@ -153,6 +153,132 @@ def fuzz_sharded(n=12, cols=2000, seed=0x5AAD):
     print(f"TPU fuzz [rowsharded 1-dev mesh cols={cols}]: {n} instances OK")
 
 
+def _random_lazy_model(rng, lin, lazy: bool):
+    """Apply an identical random op chain to lazy or eager gens, returning
+    symbolic output words (constants planted so both trees match 1:1)."""
+    gens = lin.gens(lazy=lazy)
+    state = gens[0]
+    w = len(state)
+    outs = []
+    nsteps = int(rng.integers(6, 14))
+    for s in range(nsteps):
+        op = int(rng.integers(0, 6))
+        if op == 0:
+            state = state ^ int(rng.integers(0, 1 << 63))
+        elif op == 1:
+            state = state ^ state.rotl(int(rng.integers(1, w)))
+        elif op == 2:
+            state = (state >> int(rng.integers(1, 8))) ^ state
+        elif op == 3:
+            state = state ^ ((state << int(rng.integers(1, 8)))[:w])
+        elif op == 4:
+            state = state ^ (state & int(rng.integers(0, 1 << 63)))
+        elif op == 5:
+            state = state.rotr(int(rng.integers(1, w)))
+        outs.append(state ^ int(rng.integers(0, 1 << 63)))
+    return outs
+
+
+def fuzz_lazy(n=20, seed=0x1A2B):
+    """The lazy public-API route (ops/lazy_solve: device-cached coefficient
+    matrix + per-solve affine delta) vs (a) the eager materialization of the
+    SAME op chain and (b) the numpy oracle, both modes, on the real chip."""
+    from gf2bv_tpu import LinearSystem
+    from gf2bv_tpu.ops import lazy_solve
+
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        # two FIXED widths (one per backend) so the whole sweep reuses two
+        # compiled executables; the random op chains vary the structure
+        cols = 72 if i % 2 else 1280
+        lin = LinearSystem([cols])
+        op_seed = int(rng.integers(0, 2**31))
+        lazy_zeros = _random_lazy_model(
+            np.random.default_rng(op_seed), lin, lazy=True
+        )
+        eager_zeros = _random_lazy_model(
+            np.random.default_rng(op_seed), lin, lazy=False
+        )
+        eqs_l = lin.get_eqs_packed(lazy_zeros)
+        eqs_e = lin.get_eqs_packed(eager_zeros)
+        assert np.array_equal(eqs_l, eqs_e), f"[lazy {i}] materialization"
+
+        assert lazy_solve.eligible(lin, lazy_zeros), f"[lazy {i}] eligibility"
+        ref = solve_oracle(eqs_e, cols)
+        got0 = lin.solve_raw_one(lazy_zeros)
+        got1 = lin.solve_raw_space(lazy_zeros)
+        _check(f"lazy:{i}", ref, got0, got1)
+        print(f"[lazy {i}] cols={cols} OK", file=sys.stderr)
+    print(f"TPU fuzz [lazy public API]: {n} instances OK")
+
+
+def fuzz_quad(n=16, seed=0x9D0F):
+    """Round-2 quadratic device paths on the real chip: (a) on-device
+    monomial expansion (ops/quad_device) vs the host mul_bits build, and
+    (b) the lazy mulq route (reference idiom) vs the eager matrix — each
+    solved both modes and checked vs the oracle."""
+    import jax.numpy as jnp
+
+    from gf2bv_tpu import LinearSystem, QuadraticSystem
+    from gf2bv_tpu.core.affine import AffineSpace
+    from gf2bv_tpu.ops import quad_device
+
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        # fixed shapes (two variants) so the sweep compiles at most twice
+        nlin = 16 if i % 2 else 10
+        qsys = QuadraticSystem([nlin])
+        cols = qsys._cols
+        nouts = cols + 24
+
+        # (a) device expansion from narrow tap streams
+        lin_n = LinearSystem([nlin])
+        (v,) = lin_n.gens()
+        width = nouts
+        idx_a = rng.integers(0, nlin, size=width)
+        idx_b = rng.integers(0, nlin, size=width)
+        a_bits = type(v).stack([v[int(k)] for k in idx_a])
+        b_bits = type(v).stack([v[int(k)] for k in idx_b])
+        const = int.from_bytes(rng.bytes(width // 8 + 1), "little") & (
+            (1 << width) - 1
+        )
+        eqs_dev = quad_device.quad_rows(
+            qsys, pairs=[(a_bits, b_bits)], linear=[a_bits], const=const
+        )
+        host = qsys.mul_bits(a_bits, b_bits) ^ qsys.lift(a_bits) ^ const
+        got_dev = np.asarray(eqs_dev)
+        want_dev = packing.to_u32(host.rows)
+        assert np.array_equal(
+            got_dev[:, : want_dev.shape[1]], want_dev
+        ), f"[quad {i}] device expansion"
+
+        ref = solve_oracle(host.rows, cols)
+        got0 = qsys.solve_raw_packed(jnp.asarray(eqs_dev), 0)
+        got1 = qsys.solve_raw_packed(jnp.asarray(eqs_dev), 1)
+        g1 = None if got1 is None else got1
+        _check(f"quad-dev:{i}", ref, got0, g1)
+
+        # (b) lazy mulq (the reference's per-bit idiom) vs eager
+        (xl,) = qsys.gens(lazy=True)
+        (xe,) = qsys.gens(lazy=False)
+        zl, ze = [], []
+        for _ in range(nouts):
+            ia, ib, ic = (int(r) for r in rng.integers(0, nlin, size=3))
+            c = int(rng.integers(0, 2))
+            zl.append(qsys.mul_bit(xl[ia], xl[ib]) ^ xl[ic] ^ c)
+            ze.append(qsys.mul_bit(xe[ia], xe[ib]) ^ xe[ic] ^ c)
+        eqs_l = qsys.get_eqs_packed(zl)
+        assert np.array_equal(
+            eqs_l, qsys.get_eqs_packed(ze)
+        ), f"[quad {i}] lazy materialization"
+        ref2 = solve_oracle(eqs_l, cols)
+        got0 = qsys.solve_raw_one(zl)
+        got1 = qsys.solve_raw_space(zl)
+        _check(f"quad-lazy:{i}", ref2, got0, got1)
+        print(f"[quad {i}] nlin={nlin} cols={cols} OK", file=sys.stderr)
+    print(f"TPU fuzz [quad device+lazy]: {n} instances OK")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
@@ -160,3 +286,5 @@ if __name__ == "__main__":
     main(n, cols=700, backend="jax", seed=seed ^ 0x11)
     fuzz_batched(max(8, n // 2), seed=seed ^ 0x22)
     fuzz_sharded(max(6, n // 4), seed=seed ^ 0x33)
+    fuzz_lazy(max(10, n // 2), seed=seed ^ 0x44)
+    fuzz_quad(max(8, n // 3), seed=seed ^ 0x55)

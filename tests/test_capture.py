@@ -157,6 +157,35 @@ def test_param_errors():
         ps[-1]
 
 
+def test_captured_quadratic_template():
+    """Params flow through mulq-bearing traces: a quadratic model captured
+    once re-solves for different product values without re-tracing."""
+    from gf2bv_tpu import QuadraticSystem
+
+    n = 6
+    qsys = QuadraticSystem([n])
+
+    def model(gens, p):
+        (x,) = gens
+        zeros = [
+            qsys.mul_bit(x[i], x[j]) ^ p[k]
+            for k, (i, j) in enumerate(
+                (i, j) for i in range(n) for j in range(i)
+            )
+        ]
+        zeros.append(x ^ p[n * (n - 1) // 2])
+        return zeros
+
+    tmpl = qsys.capture(model)
+    rnd = random.Random(6)
+    for _ in range(3):
+        secret = rnd.getrandbits(n) | 1
+        sb = [(secret >> i) & 1 for i in range(n)]
+        vals = [sb[i] & sb[j] for i in range(n) for j in range(i)]
+        vals.append(secret)
+        assert next(tmpl.solve_all(vals), None) == (secret,)
+
+
 def test_oracle_backend_fallback_path():
     lin = LinearSystem([24], backend="oracle")
 

@@ -282,14 +282,17 @@ def test_lazy_bitvec_is_a_bitvec_everywhere():
 
 
 def test_lazy_quadratic_interop():
-    """QuadraticSystem flows (eager mul_bit on lazy gens) stay correct."""
+    """QuadraticSystem flows: lazy gens record mulq nodes whose
+    materialization is bit-identical to the eager path."""
     qsys = QuadraticSystem([8])
     (x,) = qsys.gens(lazy=True)
     assert isinstance(x, LazyBitVec)
     (xe,) = qsys.gens(lazy=False)
-    # quadratic gens default EAGER (per-bit consumers would re-walk the DAG)
-    assert not isinstance(qsys.gens()[0], LazyBitVec)
-    prod = qsys.mul_bit(x[0], x[1])  # materializes the lazy bits
+    # quadratic gens default LAZY like LinearSystem (mulq recording makes
+    # the reference's per-bit idiom evaluate in one shared walk)
+    assert isinstance(qsys.gens()[0], LazyBitVec)
+    prod = qsys.mul_bit(x[0], x[1])  # recorded, materialized on .rows
+    assert isinstance(prod, LazyBitVec)
     want = qsys.mul_bit(xe[0], xe[1])
     assert np.array_equal(prod.rows, want.rows)
     got = qsys.mul_bits(x[:4], x[4:8] >> 1)
