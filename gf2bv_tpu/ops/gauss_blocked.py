@@ -75,6 +75,12 @@ def apply_rank_k_update(a, s, pf, phase2: str, w0=None):
     (equally correct) full-width update."""
     if phase2 == "skip":  # diagnostics only: times phase 1 alone
         return a
+    if phase2.startswith("mxu4"):
+        from .pallas_update import panel_update_mxu4
+
+        return panel_update_mxu4(
+            a, s, pf, interpret=(phase2 == "mxu4_interpret"), w0=w0
+        )
     if phase2.startswith("mxu2"):
         from .pallas_update import panel_update_mxu2
 
@@ -179,10 +185,14 @@ def rref_blocked(
         if phase1.startswith("pallas_scan") or phase1.startswith("pallas_sub"):
             from .pallas_phase1 import phase1_panel_split
 
+            variant = (
+                "2" if phase1.startswith("pallas_scan2")
+                else "m" if phase1.startswith("pallas_scanm")
+                else ""
+            )
+
             def p1fn(*args, **kw_):
-                return phase1_panel_split(
-                    *args, scan2=phase1.startswith("pallas_scan2"), **kw_
-                )
+                return phase1_panel_split(*args, variant=variant, **kw_)
         else:
             from .pallas_phase1 import phase1_panel as p1fn
 

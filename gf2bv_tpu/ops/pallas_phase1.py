@@ -436,6 +436,79 @@ def _make_scan_kernel2(rows: int, K: int, kw: int, cols: int):
     return kernel
 
 
+def _make_scan_kernel_minkey(rows: int, K: int, kw: int, cols: int):
+    """Forward scan with the election and the pivot-row extraction FUSED
+    into one reduction level.
+
+    The 1-pivot scan's per-step critical path is two dependent tree
+    reductions: min-index election, then a masked-sum lane extract of the
+    winner's slice words (~0.5 us each, x 20480 pivots ~= 20 ms at MT
+    shape).  Here every live slice word forms packed int32 keys
+    ``lane_id << 16 | payload_half``; the lane id occupies the high bits,
+    so the per-word minima all land on the SAME (minimum candidate) lane
+    and carry that lane's payload halves — election AND extraction come out
+    of independent min-reductions that issue together, halving the
+    sequential depth.  Pivot choice (minimum row index) is identical to the
+    1-pivot kernel, so results are bit-exact.
+    """
+
+    def kernel(w0_ref, bT_in, used_in, prow_ref, used_ref, cT_ref, bT_ref):
+        w0 = w0_ref[0]
+        lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+        big = jnp.int32(rows << 16)
+
+        bT_ref[:] = bT_in[:]
+        used_ref[:] = used_in[:]
+        cT_ref[:] = jnp.zeros((kw, rows), jnp.uint32)
+
+        for sw in range(kw):
+            def p1_step(jj32, _, sw=sw):
+                jj = 32 * sw + jj32
+                gbit = 32 * w0 + jj
+                valid = (gbit >= 1) & (gbit <= cols)
+                shift = jj32.astype(jnp.uint32)
+                colb = (bT_ref[sw : sw + 1, :] >> shift) & 1
+                cand = (colb == 1) & (used_ref[:] == 0) & valid
+
+                live = bT_ref[sw:, :]  # (kw-sw, rows)
+                lane_keys = lane_ids << 16  # (1, rows)
+                key_lo = jnp.where(
+                    cand,
+                    lane_keys | (live & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                    big,
+                )
+                key_hi = jnp.where(
+                    cand,
+                    lane_keys | (live >> jnp.uint32(16)).astype(jnp.int32),
+                    big,
+                )
+                min_lo = jnp.min(key_lo, axis=1, keepdims=True)  # (kw-sw, 1)
+                min_hi = jnp.min(key_hi, axis=1, keepdims=True)
+                piv = min_lo[0, 0] >> 16  # min candidate lane (or >= rows)
+                has = piv < rows
+                prow_ref[jj] = jnp.where(has, piv, -1)
+
+                bpiv = (
+                    ((min_hi & 0xFFFF) << 16) | (min_lo & 0xFFFF)
+                ).astype(jnp.uint32)  # (kw-sw, 1): the winner's slice words
+                elim = cand & (lane_ids != piv)
+                elim_mask = jnp.where(
+                    elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                )
+                bT_ref[sw:, :] = bT_ref[sw:, :] ^ (elim_mask & bpiv)
+                cT_ref[sw : sw + 1, :] = cT_ref[sw : sw + 1, :] ^ (
+                    elim_mask & (jnp.uint32(1) << shift)
+                )
+                used_ref[:] = jnp.where(
+                    (lane_ids == piv) & has, jnp.int32(1), used_ref[:]
+                )
+                return 0
+
+            lax.fori_loop(0, 32, p1_step, 0)
+
+    return kernel
+
+
 # subset-scan working-set size: K pivots leave >= 512 live candidates at
 # panel end, making a missed pivot (-> fallback pass) vanishingly rare for
 # unstructured systems; lane-aligned (multiple of 128)
@@ -443,10 +516,15 @@ SUBSET_ROWS = 768
 
 
 def _call_scan_kernel(bT, used, w0_arr, K: int, cols: int, interpret: bool,
-                      scan2: bool = False):
-    """One scan-kernel invocation (shared by the full and subset engines)."""
+                      variant: str = ""):
+    """One scan-kernel invocation (shared by the full and subset engines).
+    variant: "" (1-pivot), "2" (two pivots/step), "m" (fused min-key)."""
     kw, s_rows = bT.shape
-    make = _make_scan_kernel2 if scan2 else _make_scan_kernel
+    make = {
+        "": _make_scan_kernel,
+        "2": _make_scan_kernel2,
+        "m": _make_scan_kernel_minkey,
+    }[variant]
     return pl.pallas_call(
         make(s_rows, K, kw, cols),
         out_shape=(
@@ -508,7 +586,7 @@ def phase1_reconstruct(arows, coeff, prow, w0, K: int, cols: int,
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
-                       interpret: bool = False, scan2: bool = False):
+                       interpret: bool = False, variant: str = ""):
     """Split-phase-1 drop-in for phase1_panel (same contract).
 
     a: (rows, wp) u32; bT: (kw, rows); used: (1, rows) i32; w0 scalar word
@@ -518,7 +596,7 @@ def phase1_panel_split(a, bT, used, w0, K: int, cols: int,
     assert wp % 128 == 0
     w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
     prow, used_o, cT = _call_scan_kernel(
-        bT, used, w0_arr, K, cols, interpret, scan2
+        bT, used, w0_arr, K, cols, interpret, variant
     )
 
     # one batched gather each for the pivot rows and their coefficients

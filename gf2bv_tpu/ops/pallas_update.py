@@ -86,6 +86,133 @@ def _mxu2_kernel(selbits_ref, pfbits2_ref, a_ref, out_ref):
     _rank_k_body2(selbits_ref, pfbits2_ref, a_ref, out_ref)
 
 
+def _pack_weight_matrix(tw: int) -> np.ndarray:
+    """Block-diagonal byte-pack weights: W[b*tw + w, w] = 2^b (b = 7 stored
+    as int8 -128; the int32 accumulator's two's-complement low byte is still
+    0x80<<0, and bytes are masked before assembly)."""
+    w = np.zeros((8 * tw, tw), np.int8)
+    ar = np.arange(tw)
+    for b in range(8):
+        w[b * tw + ar, ar] = (1 << b) if b < 7 else -128
+    return w
+
+
+def _rank_k_body4(selbits_ref, pfbits2_ref, packw_ref, a_ref, out_ref):
+    """MXU-packed body: one fused-plane matmul for the parities, then the
+    32-plane -> uint32 repack ALSO on the MXU.
+
+    The round-3 accounting showed the 32-step VPU shift/or repack of
+    _rank_k_body costs as much as the matmul itself (~2 us vs ~1.4 us per
+    tile).  Here the packing is 4 block-diagonal byte matmuls
+    ((TR, 8*TW) 0/1 int8 x (8*TW, TW) power-of-two weights -> byte values),
+    +0.5x MXU work in exchange for retiring almost all VPU work.
+    """
+    counts = jnp.dot(
+        selbits_ref[:], pfbits2_ref[:], preferred_element_type=jnp.int32
+    )  # (TR, 32*TW), plane-major
+    tw = out_ref.shape[1]
+    byte_vals = []
+    for g in range(4):
+        cg = (counts[:, g * 8 * tw : (g + 1) * 8 * tw] & 1).astype(jnp.int8)
+        bg = jnp.dot(cg, packw_ref[:], preferred_element_type=jnp.int32)
+        byte_vals.append(bg & 0xFF)
+    packed = (
+        byte_vals[0]
+        | (byte_vals[1] << 8)
+        | (byte_vals[2] << 16)
+        | (byte_vals[3] << 24)
+    )
+    out_ref[:] = a_ref[:] ^ packed.astype(jnp.uint32)
+
+
+def _mxu4_kernel(selbits_ref, pfbits2_ref, packw_ref, a_ref, out_ref):
+    _rank_k_body4(selbits_ref, pfbits2_ref, packw_ref, a_ref, out_ref)
+
+
+def _mxu4_kernel_trailing(
+    w0_ref, pfconst_ref, selbits_ref, pfbits2_ref, packw_ref, a_ref, out_ref
+):
+    j = pl.program_id(0)
+    tw = out_ref.shape[1]
+    w0 = w0_ref[0]
+    skip = (j > 0) & ((j + 1) * tw <= w0)
+    const_only = (j == 0) & (tw <= w0)
+
+    @pl.when(skip)
+    def _copy():
+        out_ref[:] = a_ref[:]
+
+    @pl.when(const_only)
+    def _const():
+        counts = jnp.dot(
+            selbits_ref[:], pfconst_ref[:], preferred_element_type=jnp.int32
+        )
+        shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
+        word0 = jnp.sum((counts & 1) << shifts, axis=1, keepdims=True)
+        out_ref[:] = a_ref[:]
+        out_ref[:, 0:1] = a_ref[:, 0:1] ^ word0.astype(jnp.uint32)
+
+    @pl.when(~skip & ~const_only)
+    def _compute():
+        _rank_k_body4(selbits_ref, pfbits2_ref, packw_ref, a_ref, out_ref)
+
+
+def panel_update_mxu4(a, sel, pf, *, interpret: bool = False, w0=None):
+    """MXU-packed variant (see _rank_k_body4); same contract as
+    panel_update_mxu."""
+    rows, wp = a.shape
+    k = pf.shape[0]
+    tw = 128 if wp % 128 == 0 else wp
+    tr = min(TR, rows)
+    grid = (wp // tw, rows // tr)
+    selbits = unpack_sel_bits(sel)
+    pfbits2 = unpack_pf_planes2(pf, tw)
+    packw = jnp.asarray(_pack_weight_matrix(tw))
+    data_specs = [
+        pl.BlockSpec((tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (k, 32 * tw), lambda j, i: (0, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (8 * tw, tw), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * rows * k * wp * 32 + 2 * rows * wp * 8 * 32,
+        bytes_accessed=2 * rows * wp * 4 + rows * k + 32 * k * wp,
+        transcendentals=0,
+    )
+    if w0 is None:
+        return pl.pallas_call(
+            _mxu4_kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+            grid_spec=pl.GridSpec(grid=grid, in_specs=data_specs, out_specs=out_spec),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(selbits, pfbits2, packw, a)
+    w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+    pfconst = ((pf[:, 0:1] >> _SHIFTS32[None, :]) & 1).astype(jnp.int8)
+    return pl.pallas_call(
+        _mxu4_kernel_trailing,
+        out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (k, 32), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            + data_specs,
+            out_specs=out_spec,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(w0_arr, pfconst, selbits, pfbits2, packw, a)
+
+
 def _mxu2_kernel_trailing(w0_ref, selbits_ref, pfbits2_ref, a_ref, out_ref):
     j = pl.program_id(0)
     tw = out_ref.shape[1]
@@ -136,21 +263,41 @@ def unpack_pf_planes(pf):
     return ((pf[None, :, :] >> s[:, None, None]) & 1).astype(jnp.int8)
 
 
-def _mxu_kernel_trailing(w0_ref, selbits_ref, pfbits_ref, a_ref, out_ref):
+def _mxu_kernel_trailing(
+    w0_ref, pfconst_ref, selbits_ref, pfbits_ref, a_ref, out_ref
+):
     """Trailing variant: word-tiles entirely left of the panel start w0
-    (except tile 0, which holds the affine/const column) copy through
-    untouched — in a mode-0 solve those columns are never read again, so
-    their MXU work is skipped.  See gauss_blocked.rref_blocked(trailing=...).
+    copy through untouched — in a mode-0 solve those columns are never read
+    again, so their MXU work is skipped.  Tile 0 carries the affine/const
+    column (word 0): once the panel has moved past it, only that ONE word
+    is updated — a (TR, K) x (K, 32) matmul against the const word's bit
+    planes (``pfconst``) instead of the full 32x(K x TW) tile body.  The
+    round-3 accounting showed this tile-0 quantization was ~half of the
+    trailing mode's residual waste.  See gauss_blocked.rref_blocked.
     """
     j = pl.program_id(0)
     tw = out_ref.shape[1]
-    skip = (j > 0) & ((j + 1) * tw <= w0_ref[0])
+    w0 = w0_ref[0]
+    skip = (j > 0) & ((j + 1) * tw <= w0)
+    const_only = (j == 0) & (tw <= w0)
 
     @pl.when(skip)
     def _copy():
         out_ref[:] = a_ref[:]
 
-    @pl.when(~skip)
+    @pl.when(const_only)
+    def _const():
+        counts = jnp.dot(
+            selbits_ref[:], pfconst_ref[:], preferred_element_type=jnp.int32
+        )  # (TR, 32): per-plane parities of the const word
+        shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
+        word0 = jnp.sum(
+            (counts & 1) << shifts, axis=1, keepdims=True
+        )  # exact: one distinct power of two per lane, no carries
+        out_ref[:] = a_ref[:]
+        out_ref[:, 0:1] = a_ref[:, 0:1] ^ word0.astype(jnp.uint32)
+
+    @pl.when(~skip & ~const_only)
     def _compute():
         _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
 
@@ -236,17 +383,25 @@ def panel_update_mxu(a, sel, pf, *, interpret: bool = False, w0=None):
             interpret=interpret,
         )(selbits, pfbits, a)
     w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+    # bit planes of the const word (pf[:, 0]) for the tile-0 const-only path
+    pfconst = ((pf[:, 0:1] >> _SHIFTS32[None, :]) & 1).astype(jnp.int8)
     return pl.pallas_call(
         _mxu_kernel_trailing,
         out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
         grid_spec=pl.GridSpec(
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (k, 32), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            + data_specs,
             out_specs=out_spec,
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(w0_arr, selbits, pfbits, a)
+    )(w0_arr, pfconst, selbits, pfbits, a)
 
 
 def pick_tw(wp: int) -> int:

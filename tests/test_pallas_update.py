@@ -112,9 +112,23 @@ def test_mxu_panel_update_trailing_interpret():
         )
     )
     full = ref_update(a, sel, pf)
-    assert np.array_equal(got[:, :128], full[:, :128])  # tile 0: updated
+    # tile 0 is past the panel: only the const word (word 0) is updated
+    assert np.array_equal(got[:, :1], full[:, :1])
+    assert np.array_equal(got[:, 1:128], a[:, 1:128])
     assert np.array_equal(got[:, 128:256], a[:, 128:256])  # tile 1: skipped
     assert np.array_equal(got[:, 256:], full[:, 256:])  # tile 2: updated
+
+    # with the panel still inside tile 0 (w0 < 128), tile 0 updates fully
+    got2 = np.asarray(
+        panel_update_mxu(
+            jnp.asarray(a),
+            jnp.asarray(sel),
+            jnp.asarray(pf),
+            interpret=True,
+            w0=64,
+        )
+    )
+    assert np.array_equal(got2, full)
 
 
 def test_blocked_solver_with_pallas_scan_phase1_interpret():
@@ -158,6 +172,31 @@ def test_blocked_solver_with_pallas_scan2_phase1_interpret(seed, rows, cols):
     eqs = packing.pack_bits(bits, 1 + cols)
 
     got = solve_blocked(eqs, cols, 1, phase1="pallas_scan2_interpret", phase2="jnp")
+    ref = solve_oracle(eqs, cols)
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert [packing.words_to_int(b) for b in basis] == [
+        packing.words_to_int(b) for b in ref.basis
+    ]
+
+
+@pytest.mark.parametrize("seed,rows,cols", [(51, 150, 75), (52, 300, 200)])
+def test_blocked_solver_with_pallas_scanm_phase1_interpret(seed, rows, cols):
+    """Fused min-key scan engine (election+extract in one reduction level)
+    must match the oracle bit-for-bit — same pivot choice, same RREF."""
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.core import packing
+
+    rng = np.random.default_rng(seed)
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    coeff[rows - 5 :] = coeff[:5]  # dependent rows
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    got = solve_blocked(eqs, cols, 1, phase1="pallas_scanm_interpret", phase2="jnp")
     ref = solve_oracle(eqs, cols)
     origin, basis = got
     assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
