@@ -52,8 +52,37 @@ def recover(bs: int, samples: int | None = None):
     assert all(replay.getrandbits(bs) == source.getrandbits(bs) for _ in range(100))
 
 
+def recover_many_captured(n_instances: int = 5):
+    """Many-victim recovery through a CAPTURED trace: the model runs in
+    Python exactly once; every further victim costs one values-bind (the
+    observed words) plus the fused device solve — the pattern a recovery
+    service would run (core/capture.py)."""
+    print(f"--- captured trace, {n_instances} instances ---")
+    lin = LinearSystem([32] * 624)
+
+    def model(words, p):
+        sym = MT19937(list(words))
+        return [sym.getrandbits(32) ^ p[i] for i in range(624)] + [
+            words[0] ^ 0x80000000
+        ]
+
+    with timeit("capture (one-time)"):
+        tmpl = lin.capture(model)
+
+    for k in range(n_instances):
+        source = random.Random(31337 + k)
+        observed = [source.getrandbits(32) for _ in range(624)]
+        with timeit(f"instance {k}: bind + solve"):
+            state = tmpl.solve_one(observed)
+        assert state == tuple(random.Random(31337 + k).getstate()[1][:-1])
+        replay = MT19937(list(state))
+        assert observed == [replay.getrandbits(32) for _ in range(624)]
+    print("all instances recovered (no re-trace after the first)")
+
+
 if __name__ == "__main__":
     for bs in (32, 17, 9, 1):
         recover(bs)
     recover(1337, STATE_BITS // 1337 + 10)
     recover(137, STATE_BITS // 137 + 60)
+    recover_many_captured()
