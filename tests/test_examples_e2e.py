@@ -216,3 +216,29 @@ def test_mini_nlfsr_bit_assert_bruteforce():
         assert found
     else:
         assert any(sol == init for (sol,) in sols)
+
+
+# ----------------------------------------------------------------- geffe.py
+
+
+def test_geffe_guess_sweep_batch():
+    """Scaled-down examples/geffe.py: guess the short register (2^9), the
+    conditioned keystream is linear in the other two — all guesses solved
+    in one batched device call, exactly one satisfiable + verified."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import geffe
+
+    # shrink the sweep: 9-bit register 1 (512 guesses)
+    old = (geffe.N1, geffe.T1, geffe.T)
+    geffe.N1, geffe.T1, geffe.T = 9, 0x110, 96
+    try:
+        s1, s2, s3 = 0x1A5, 0x2B3C7, 0x5D1E33
+        ks = geffe.geffe_stream(s1, s2, s3, geffe.T)
+        hits = geffe.attack(ks)
+        assert (s1, s2, s3) in hits
+        assert len(hits) == 1
+    finally:
+        geffe.N1, geffe.T1, geffe.T = old

@@ -24,3 +24,11 @@ def test_fuzz_batched_mini():
 
 def test_fuzz_sharded_mini():
     tpu_fuzz.fuzz_sharded(n=2, cols=300, seed=0xCAFE)
+
+
+def test_fuzz_lazy_mini():
+    tpu_fuzz.fuzz_lazy(n=4, seed=0xDEED)
+
+
+def test_fuzz_quad_mini():
+    tpu_fuzz.fuzz_quad(n=2, seed=0xFEED)
