@@ -24,7 +24,7 @@ from .core.system import (
     Zeros,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def m4ri_solve(equations, cols: int, mode: int):
