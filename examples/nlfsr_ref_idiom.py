@@ -1,92 +1,84 @@
-"""Nonlinear-LFSR attack written in the REFERENCE'S OWN idiom.
+"""The NLFSR attack driven through the PER-BIT ``mul_bit`` idiom.
 
-This file mirrors ``/root/reference/examples/nlfsr.py`` line-shape for
-line-shape: full-width quadratic gens, a plain Python loop stepping the
-symbolic LFSR, one ``qsys.mul_bit``-built annihilator equation per
-keystream 1 — no tap-stream rewrite, no device-expansion API.  The lazy
-engine makes this idiom fast anyway: each ``mul_bit`` records a ``mulq``
-node, and the whole zeros list materializes at solve time in ONE shared
-walk with a single batched ``mul_bits`` monomial expansion
-(core/lazy.py:_batch_mulq).
+`examples/nlfsr.py` is the TPU-idiomatic version of this attack (narrow
+tap streams, batched device expansion).  This file solves the identical
+workload the way a user migrating from the reference would naturally write
+it — full-width quadratic gens, a plain Python loop stepping the symbolic
+register, one `mul_bit`-built annihilator equation appended per keystream
+1 (the style of ``/root/reference/examples/nlfsr.py:49-57``).  The lazy
+engine makes that style fast without any rewrite: each `mul_bit` records a
+``mulq`` node, and the whole zeros list materializes at solve time in one
+shared walk with a single batched monomial expansion
+(core/lazy._batch_mulq).
 
-Compare examples/nlfsr.py, which is the TPU-idiomatic version of the same
-attack (narrow tap streams + on-device expansion); both recover the same
-register.
+All workload parameters and the combiner/annihilator pair are imported
+from examples/nlfsr.py — the two files ARE the same attack, expressed in
+the two idioms.
 """
 
 import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
 
-import itertools
 import secrets
 import time
+
+from nlfsr import SELECT, TAPS, WIDTH, annihilator, check_annihilator, keystream
 
 from gf2bv_tpu import QuadraticSystem
 from gf2bv_tpu.crypto.lfsr import FibonacciLFSR, GaloisLFSR
 
-n, mask = 128, 0xD670201BAC7515352A273372B2A95B23
-select = (13, 24, 35, 46, 57)
+NSTEPS = 2**14 + 1000
 
 
-def combiner(x0, x1, x2, x3, x4):
-    # balanced: emits 1 half the time
-    return (x0 * x1) ^ (x0 * x1 * x3 * x4) ^ x0 ^ x1 ^ x2
-
-
-def non_linear_output(lfsr):
-    lfsr()
-    x0, x1, x2, x3, x4 = [(lfsr.state >> i) & 1 for i in select]
-    return combiner(x0, x1, x2, x3, x4)
-
-
-def annihilator(x0, x1, x2, x3, x4):
-    return (x0 * x1) ^ x0 ^ (x1 * x2) ^ x1 ^ x2 ^ 1
-
-
-def sanity_check():
-    for x0, x1, x2, x3, x4 in itertools.product([0, 1], repeat=5):
-        if combiner(x0, x1, x2, x3, x4) == 1:
-            assert annihilator(x0, x1, x2, x3, x4) == 0
-
-
-def nlfsr_test(LFSR):
-    print(f"Testing {LFSR.__name__}")
-    init = secrets.randbits(n)
-    print(f"{init = :0{n}b}")
-    lfsr = LFSR(n, mask, init)
-
-    N = 2**14 + 1000
-    out = [non_linear_output(lfsr) for _ in range(N)]
-
-    t0 = time.perf_counter()
-    qsys = QuadraticSystem([128])
-    (x,) = qsys.gens()  # lazy by default: ops below only RECORD
-    lfsr_sys = LFSR(128, mask, x)
+def trace_zeros_per_bit(qsys, lfsr_cls, out):
+    """The migration-path trace: step the symbolic register in Python and
+    emit one annihilator row per keystream 1, bit products via mul_bit.
+    Everything here only RECORDS; the heavy lifting happens at solve."""
+    (x,) = qsys.gens()  # lazy by default
+    reg = lfsr_cls(WIDTH, TAPS, x)
     zeros = []
     for o in out:
-        lfsr_sys()
-        if o == 1:
-            x0, x1, x2, x3, x4 = [lfsr_sys.state[i] for i in select]
-            # this is the annihilator, exactly as the reference writes it
-            z = qsys.mul_bit(x0, x1) ^ x0 ^ qsys.mul_bit(x1, x2) ^ x1 ^ x2 ^ 1
-            zeros.append(z)
-    print(f"{len(zeros) = }  (recorded in {time.perf_counter() - t0:.2f}s)")
+        reg()
+        if o:
+            t0, t1, t2 = (reg.state[i] for i in SELECT[:3])
+            # annihilator(t0, t1, t2) == 0 whenever the combiner emitted 1;
+            # same algebra as nlfsr.annihilator, over symbolic bits
+            zeros.append(
+                qsys.mul_bit(t0, t1) ^ qsys.mul_bit(t1, t2)
+                ^ t0 ^ t1 ^ t2 ^ 1
+            )
+    return zeros
+
+
+def run(lfsr_cls):
+    print(f"--- {lfsr_cls.__name__} (per-bit idiom) ---")
+    secret = secrets.randbits(WIDTH)
+    print(f"secret    {secret:0{WIDTH}b}")
+    out = keystream(lfsr_cls, secret, NSTEPS)
+
+    qsys = QuadraticSystem([WIDTH])
+    t0 = time.perf_counter()
+    zeros = trace_zeros_per_bit(qsys, lfsr_cls, out)
+    print(f"{len(zeros)} equations recorded in {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
-    sols = list(qsys.solve_all(zeros))
-    print(f"solve_all: {time.perf_counter() - t0:.2f}s")
-    for (sol,) in sols:
-        print(f"{sol = :0{n}b}")
-        assert sol == init
+    solutions = [s for (s,) in qsys.solve_all(zeros)]
+    print(f"solve_all {time.perf_counter() - t0:.2f}s")
+    assert solutions and all(s == secret for s in solutions)
 
     t0 = time.perf_counter()
-    (sol,) = qsys.solve_one(zeros)
-    print(f"solve_one: {time.perf_counter() - t0:.2f}s")
-    print(f"{sol = :0{n}b}")
-    assert sol == init
+    (one,) = qsys.solve_one(zeros)
+    print(f"solve_one {time.perf_counter() - t0:.2f}s")
+    assert one == secret
+    print(f"recovered {one:0{WIDTH}b}")
 
 
 if __name__ == "__main__":
-    sanity_check()
-    nlfsr_test(GaloisLFSR)
-    nlfsr_test(FibonacciLFSR)
+    check_annihilator()
+    # sanity: the traced algebra equals the imported annihilator
+    for v in range(8):
+        b = [(v >> i) & 1 for i in range(3)]
+        traced = (b[0] & b[1]) ^ (b[1] & b[2]) ^ b[0] ^ b[1] ^ b[2] ^ 1
+        assert traced == annihilator(*b)
+    run(GaloisLFSR)
+    run(FibonacciLFSR)
     print("ok")

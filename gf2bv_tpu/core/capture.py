@@ -87,6 +87,16 @@ class CapturedTrace:
         exprs = [z._expr for z in self.zeros]
         if not hasattr(self, "_coeff"):
             mats = lazy.materialize_many(exprs, strip_consts=True)
+            # quadratic traces: pure-linear rows materialize at the narrow
+            # linear-columns width — zero-extend to the system's full word
+            # count (same padding as lazy_solve._build / get_eqs_packed)
+            nw = packing.nwords64(1 + self.system._cols)
+            mats = [
+                m
+                if m.shape[1] == nw
+                else np.pad(m, ((0, 0), (0, nw - m.shape[1])))
+                for m in mats
+            ]
             self._coeff = np.concatenate(mats, axis=0)
             self._widths = [e.width for e in exprs]
         from ..ops.lazy_solve import _affine_vector
@@ -103,6 +113,12 @@ class CapturedTrace:
         return self._solve_internal(values, 1)
 
     def solve_one(self, values: Sequence[int]):
+        # Quadratic systems must route through solve_all: a raw mode-0
+        # particular solution (free vars = 0) can fail the lin/quad
+        # consistency filter — the same pitfall QuadraticSystem.solve_one
+        # avoids (core/system.py, ref :395-398).
+        if getattr(self.system, "_quad_size", None) is not None:
+            return next(self.solve_all(values), None)
         sol = self._solve_internal(values, 0)
         if sol is None:
             return

@@ -536,8 +536,8 @@ class QuadraticSystem(LinearSystem):
         for sol in self.solve_all_packed(eqs):
             return sol
 
-    def solve_one_batch(self, zeros_batch, *, max_dimension: int = 16,
-                        mesh=None):
+    def solve_one_batch(self, zeros_batch, mesh=None, *,
+                        max_dimension: int = 16):
         """Batched one-point solving.  A raw mode-0 particular solution can
         fail the quadratic consistency filter (the same pitfall solve_one
         avoids by routing through solve_all), so each instance solves its

@@ -452,6 +452,14 @@ def _make_scan_kernel_minkey(rows: int, K: int, kw: int, cols: int):
     1-pivot kernel, so results are bit-exact.
     """
 
+    # lane ids occupy int32 bits 16..30; the no-candidate sentinel is
+    # rows << 16, so the padded row count must fit in 15 bits
+    assert rows < (1 << 15), (
+        f"pallas_scanm packs lane ids into int32 bits 16+; rows={rows} "
+        ">= 32768 would overflow the min-keys — use the default "
+        "pallas_scan engine for systems this tall"
+    )
+
     def kernel(w0_ref, bT_in, used_in, prow_ref, used_ref, cT_ref, bT_ref):
         w0 = w0_ref[0]
         lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)

@@ -186,6 +186,66 @@ def test_captured_quadratic_template():
         assert next(tmpl.solve_all(vals), None) == (secret,)
 
 
+def test_captured_quadratic_solve_one_routes_through_filter():
+    """CapturedTrace.solve_one on a QuadraticSystem must route through
+    solve_all like QuadraticSystem.solve_one does: with an underdetermined
+    space the raw mode-0 origin (free vars = 0) generically fails the
+    lin/quad consistency check, and returning None for a satisfiable
+    instance would be a silent wrong answer (review fix, round 3)."""
+    from gf2bv_tpu import QuadraticSystem
+
+    n = 5
+    qsys = QuadraticSystem([n])
+    pairs = [(i, j) for i in range(n) for j in range(i)]
+
+    def model(gens, p):
+        (x,) = gens
+        # quad constraints only -> the linear block is free (dim >= n)
+        return [
+            qsys.mul_bit(x[i], x[j]) ^ p[k] for k, (i, j) in enumerate(pairs)
+        ]
+
+    tmpl = qsys.capture(model)
+    secret = 0b10110
+    sb = [(secret >> i) & 1 for i in range(n)]
+    vals = [sb[i] & sb[j] for (i, j) in pairs]
+
+    sol = tmpl.solve_one(vals)
+    assert sol is not None
+    assert sol in set(tmpl.solve_all(vals))
+    # the recovered point must actually satisfy every product constraint
+    (s,) = sol
+    for (i, j), v in zip(pairs, vals):
+        assert ((s >> i) & 1) & ((s >> j) & 1) == v
+
+
+def test_captured_quadratic_host_backend_mixed_widths():
+    """Host-backend fallback must pad narrow (pure-linear) rows to the full
+    monomial width before stacking with mulq rows (review fix, round 3)."""
+    from gf2bv_tpu import QuadraticSystem
+
+    n = 6
+    qsys = QuadraticSystem([n], backend="oracle")
+
+    def model(gens, p):
+        (x,) = gens
+        zeros = [
+            qsys.mul_bit(x[i], x[j]) ^ p[k]
+            for k, (i, j) in enumerate(
+                (i, j) for i in range(n) for j in range(i)
+            )
+        ]
+        zeros.append(x ^ p[n * (n - 1) // 2])  # narrow pure-linear row
+        return zeros
+
+    tmpl = qsys.capture(model)
+    secret = 0b110101
+    sb = [(secret >> i) & 1 for i in range(n)]
+    vals = [sb[i] & sb[j] for i in range(n) for j in range(i)]
+    vals.append(secret)
+    assert tmpl.solve_one(vals) == (secret,)
+
+
 def test_oracle_backend_fallback_path():
     lin = LinearSystem([24], backend="oracle")
 

@@ -301,3 +301,68 @@ def test_trailing_solve_e2e_interpret():
         jnp.asarray(a32), cols, 256, "mxu_interpret", "jnp"
     )
     assert bool(unsat2)
+
+
+def test_mxu4_panel_update_interpret():
+    """The opt-in MXU-packed engine (byte-weight matmul repack incl. the
+    int8 -128 bit-7 trick) must match the jnp formulation bit-for-bit in
+    full, trailing, const-only, and w0-inside-tile-0 modes."""
+    from gf2bv_tpu.ops.pallas_update import panel_update_mxu4
+
+    rng = np.random.default_rng(44)
+    rows, wp, k = 256, 384, 64
+    a = rng.integers(0, 2**32, size=(rows, wp), dtype=np.uint32)
+    sel = rng.integers(0, 2**32, size=(rows, k // 32), dtype=np.uint32)
+    pf = rng.integers(0, 2**32, size=(k, wp), dtype=np.uint32)
+    full = ref_update(a, sel, pf)
+
+    got = np.asarray(
+        panel_update_mxu4(
+            jnp.asarray(a), jnp.asarray(sel), jnp.asarray(pf), interpret=True
+        )
+    )
+    assert np.array_equal(got, full)
+
+    got2 = np.asarray(
+        panel_update_mxu4(
+            jnp.asarray(a), jnp.asarray(sel), jnp.asarray(pf),
+            interpret=True, w0=260,
+        )
+    )
+    assert np.array_equal(got2[:, :1], full[:, :1])  # const word updated
+    assert np.array_equal(got2[:, 1:128], a[:, 1:128])  # tile-0 rest: as-is
+    assert np.array_equal(got2[:, 128:256], a[:, 128:256])  # skipped
+    assert np.array_equal(got2[:, 256:], full[:, 256:])  # live
+
+    got3 = np.asarray(
+        panel_update_mxu4(
+            jnp.asarray(a), jnp.asarray(sel), jnp.asarray(pf),
+            interpret=True, w0=64,
+        )
+    )
+    assert np.array_equal(got3, full)
+
+
+def test_blocked_solver_with_mxu4_interpret():
+    """Full solve through the mxu4 engine vs the oracle."""
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.core import packing
+
+    rng = np.random.default_rng(45)
+    cols = 75
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(150, cols)).astype(np.uint8)
+    rhs = (coeff @ secret) % 2
+    eqs = packing.pack_bits(
+        np.concatenate([rhs[:, None], coeff], axis=1), 1 + cols
+    )
+    got = solve_blocked(
+        eqs, cols, 1, phase1="pallas_scan_interpret", phase2="mxu4_interpret"
+    )
+    ref = solve_oracle(eqs, cols)
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert [packing.words_to_int(b) for b in basis] == [
+        packing.words_to_int(b) for b in ref.basis
+    ]
