@@ -279,6 +279,51 @@ def fuzz_quad(n=16, seed=0x9D0F):
     print(f"TPU fuzz [quad device+lazy]: {n} instances OK")
 
 
+def fuzz_capture(n=12, per_template=3, seed=0xCA97):
+    """Captured-trace templates (core/capture.py) on the real chip: a random
+    op-chain model is captured once with Param slots; several instances bind
+    random values and must match BOTH the direct lazy solve of the same
+    structure and the numpy oracle, both modes."""
+    from gf2bv_tpu import LinearSystem
+
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        cols = 72 if i % 2 else 1280  # same fixed widths as fuzz_lazy
+        lin = LinearSystem([cols])
+        op_seed = int(rng.integers(0, 2**31))
+
+        def model(gens, p, lin=lin, op_seed=op_seed):
+            zs = _random_lazy_model(
+                np.random.default_rng(op_seed), lin, lazy=True
+            )
+            return [z ^ p[k] for k, z in enumerate(zs)]
+
+        tmpl = lin.capture(model)
+        for j in range(per_template):
+            vals = [
+                int(v)
+                for v in rng.integers(0, 1 << 63, size=tmpl.nparams)
+            ]
+            # direct route: same structure, literal constants
+            direct = [
+                z ^ v
+                for z, v in zip(
+                    _random_lazy_model(
+                        np.random.default_rng(op_seed), lin, lazy=True
+                    ),
+                    vals,
+                )
+            ]
+            eqs = lin.get_eqs_packed(direct)
+            ref = solve_oracle(eqs, cols)
+            got0 = tmpl.solve_raw_one(vals)
+            got1 = tmpl.solve_raw_space(vals)
+            _check(f"capture:{i}.{j}", ref, got0, got1)
+            assert got0 == lin.solve_raw_one(direct), f"[capture {i}.{j}] direct"
+        print(f"[capture {i}] cols={cols} x{per_template} OK", file=sys.stderr)
+    print(f"TPU fuzz [captured templates]: {n} templates x {per_template} OK")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
@@ -288,3 +333,4 @@ if __name__ == "__main__":
     fuzz_sharded(max(6, n // 4), seed=seed ^ 0x33)
     fuzz_lazy(max(10, n // 2), seed=seed ^ 0x44)
     fuzz_quad(max(8, n // 3), seed=seed ^ 0x55)
+    fuzz_capture(max(8, n // 3), seed=seed ^ 0x66)

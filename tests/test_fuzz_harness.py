@@ -32,3 +32,7 @@ def test_fuzz_lazy_mini():
 
 def test_fuzz_quad_mini():
     tpu_fuzz.fuzz_quad(n=2, seed=0xFEED)
+
+
+def test_fuzz_capture_mini():
+    tpu_fuzz.fuzz_capture(n=2, per_template=2, seed=0xCA11)
