@@ -88,16 +88,11 @@ class CapturedTrace:
         if not hasattr(self, "_coeff"):
             mats = lazy.materialize_many(exprs, strip_consts=True)
             # quadratic traces: pure-linear rows materialize at the narrow
-            # linear-columns width — zero-extend to the system's full word
-            # count (same padding as lazy_solve._build / get_eqs_packed)
+            # linear-columns width — zero-extend to the full word count
             nw = packing.nwords64(1 + self.system._cols)
-            mats = [
-                m
-                if m.shape[1] == nw
-                else np.pad(m, ((0, 0), (0, nw - m.shape[1])))
-                for m in mats
-            ]
-            self._coeff = np.concatenate(mats, axis=0)
+            self._coeff = np.concatenate(
+                lazy.pad_mats_to_words(mats, nw), axis=0
+            )
             self._widths = [e.width for e in exprs]
         from ..ops.lazy_solve import _affine_vector
 

@@ -72,11 +72,17 @@ class Param:
 
     def bind(self, env) -> int:
         try:
-            return int(env[self.index])
-        except (IndexError, TypeError, KeyError):
+            v = env[self.index]
+        except (IndexError, KeyError, TypeError):
             raise ValueError(
                 f"captured trace needs a value for param {self.index}; "
                 f"got {len(env) if env is not None else 0} values"
+            ) from None
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"param {self.index}: value {v!r} is not convertible to int"
             ) from None
 
     def __repr__(self) -> str:
@@ -334,6 +340,13 @@ def _pad_words(rows: np.ndarray, w: int) -> np.ndarray:
     out = np.zeros((rows.shape[0], w), dtype=rows.dtype)
     out[:, : rows.shape[1]] = rows
     return out
+
+
+def pad_mats_to_words(mats, nw: int):
+    """Zero-extend materialized row blocks to a common word count (quadratic
+    traces emit pure-linear rows at the narrow linear-columns width).  The
+    single shared helper for every materialize_many consumer."""
+    return [m if m.shape[1] == nw else _pad_words(m, nw) for m in mats]
 
 
 def _eval_coeff(n: Expr, ch: list, strip: bool) -> BitVec:

@@ -124,14 +124,9 @@ class LinearSystem:
             return np.zeros((0, self._nw), dtype=np.uint64)
         # quadratic lazy traces materialize linear rows at the narrow
         # (linear-columns-only) width; pad to the system's full word count
-        if any(b.shape[1] != self._nw for b in blocks):
-            blocks = [
-                b
-                if b.shape[1] == self._nw
-                else np.pad(b, ((0, 0), (0, self._nw - b.shape[1])))
-                for b in blocks
-            ]
-        mat = np.concatenate(blocks, axis=0)
+        from .lazy import pad_mats_to_words
+
+        mat = np.concatenate(pad_mats_to_words(blocks, self._nw), axis=0)
         return mat[mat.any(axis=1)]
 
     def get_eqs(self, zeros: Zeros) -> list[int]:
@@ -462,14 +457,36 @@ class QuadraticSystem(LinearSystem):
         return [BitVec(r[None, :], self._nbits) for r in rows]
 
     def _bit_assert_lazy(self, a, v: int) -> list[BitVec]:
+        from .lazy import affine_many, materialize_many
+
         n = self._lin_size
         assert v in (0, 1), "Invalid bit"
-        am = packing.words_to_int(a.rows[0])  # one prefix walk, cached
+        # the checks need only the COEFFICIENT mask, which is well-defined
+        # even when the trace carries unbound Params (capture idiom)
+        (mat,) = materialize_many([a._expr], strip_consts=True)
+        am = packing.words_to_int(mat[0])
         assert am >> 1 != 0, "a should not be a constant"
         assert am >> (1 + n) == 0, "Not a linear term"
+        if a._expr.aff0:
+            aff = 0
+        else:
+            try:
+                aff = affine_many([a._expr])[0]  # no Params: exact
+            except ValueError:
+                # Param-dependent affine: the mask-AND product formula
+                # (reference semantics, _internal.c:538-604) is only sound
+                # for a fixed affine part, so the consistency rows would be
+                # wrong for some bound values.  Refuse loudly.
+                raise ValueError(
+                    "bit_assert target's affine part depends on unbound "
+                    "Params; for captured guess sweeps assert a "
+                    "constant-free bit and put the guess in v (one "
+                    "captured structure per guess value)"
+                ) from None
         zeros = [a ^ v]
         for i in range(1, 1 + n):
-            if am == (1 << i):  # a IS basis bit i
+            # eager semantics: skip when a's FULL mask equals basis bit i
+            if aff == 0 and am == (1 << i):
                 continue
             brow = BitVec(
                 packing.bit_rows(1 + n, np.array([i])), 1 + n

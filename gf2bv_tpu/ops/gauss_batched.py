@@ -323,6 +323,16 @@ def rref_origin_batched(
     return origins, unsat
 
 
+def padded_batch_dims(rows_max: int, w64: int) -> tuple[int, int]:
+    """(rows_pad, wp32): the per-system dims :func:`solve_batched` actually
+    allocates — the ONE place this arithmetic lives, so callers' memory
+    estimates (parallel/batch.py's device-OOM guard) stay in lock-step."""
+    rows_pad = max(_ROW_BUCKET, -(-rows_max // _ROW_BUCKET) * _ROW_BUCKET)
+    walign = max(K_PANEL // 32, 128)
+    wp = -(-(2 * w64) // walign) * walign
+    return rows_pad, wp
+
+
 def solve_batched(eq_mats, cols: int, mode: int, phase2: str | None = None):
     """Batched large-system solve (host entry, gauss_blocked.solve_blocked
     contract per instance): eq_mats is a list of packed (rows_i, W64)
@@ -332,10 +342,7 @@ def solve_batched(eq_mats, cols: int, mode: int, phase2: str | None = None):
 
     if isinstance(eq_mats, (list, tuple)):
         rows_max = max(m.shape[0] for m in eq_mats)
-        rows_pad = max(_ROW_BUCKET, -(-rows_max // _ROW_BUCKET) * _ROW_BUCKET)
-        w32 = 2 * eq_mats[0].shape[1]
-        walign = max(K_PANEL // 32, 128)
-        wp = -(-w32 // walign) * walign
+        rows_pad, wp = padded_batch_dims(rows_max, eq_mats[0].shape[1])
         a = np.zeros((len(eq_mats), rows_pad, wp), np.uint32)
         for i, m in enumerate(eq_mats):
             a32 = packing.to_u32(m)

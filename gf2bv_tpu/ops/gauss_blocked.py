@@ -151,13 +151,14 @@ def rref_blocked(
     gauss_jax.rref_device.
 
     ``trailing=True`` (mode-0 fast path) lets the MXU phase-2 engine skip
-    word-tiles left of each panel (except tile 0, the const column): those
-    columns are pivot columns of earlier panels (already identity) or free
-    columns, and a particular solution with free vars = 0 never reads free
-    columns.  The returned matrix is then NOT a full RREF in the free
-    columns, and the ``inconsistent`` flag is unreliable — callers must
-    verify the extracted solution against the original system instead
-    (rref_origin_blocked does).
+    word-tiles left of each panel; once the panel has moved past tile 0,
+    only its const WORD (word 0) keeps being updated — all other columns
+    left of the live panel (earlier pivot columns and free columns) go
+    stale, because a mode-0 origin extraction reads nothing but
+    ``rref[pivot_row, word 0]``.  The returned matrix is then NOT a full
+    RREF left of the last panel, and the ``inconsistent`` flag is
+    unreliable — callers must verify the extracted solution against the
+    original system instead (rref_origin_blocked does).
     """
     K = k_panel
     kw = K // 32

@@ -73,13 +73,7 @@ def _build(system, exprs, key) -> _CachedSystem:
 
     mats = lazy.materialize_many(exprs, strip_consts=True)
     nw = packing.nwords64(1 + system._cols)
-    if any(m.shape[1] != nw for m in mats):
-        # quadratic lazy traces: linear rows are narrow — pad to full width
-        mats = [
-            m if m.shape[1] == nw else np.pad(m, ((0, 0), (0, nw - m.shape[1])))
-            for m in mats
-        ]
-    stacked = np.concatenate(mats, axis=0)
+    stacked = np.concatenate(lazy.pad_mats_to_words(mats, nw), axis=0)
     cs.struct_aff = (stacked[:, 0] & np.uint64(1)).astype(np.uint8)
     # coefficient-nonzero test without copying the ~50 MB stacked matrix
     cs.kept_mask = (stacked[:, 0] & ~np.uint64(1)) != 0

@@ -528,6 +528,10 @@ def _call_scan_kernel(bT, used, w0_arr, K: int, cols: int, interpret: bool,
     """One scan-kernel invocation (shared by the full and subset engines).
     variant: "" (1-pivot), "2" (two pivots/step), "m" (fused min-key)."""
     kw, s_rows = bT.shape
+    if variant == "m" and s_rows >= (1 << 15):
+        # the min-key packing needs the lane id in 15 bits; fall back to
+        # the default scan for taller systems instead of failing the trace
+        variant = ""
     make = {
         "": _make_scan_kernel,
         "2": _make_scan_kernel2,

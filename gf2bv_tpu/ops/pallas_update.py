@@ -144,13 +144,7 @@ def _mxu4_kernel_trailing(
 
     @pl.when(const_only)
     def _const():
-        counts = jnp.dot(
-            selbits_ref[:], pfconst_ref[:], preferred_element_type=jnp.int32
-        )
-        shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
-        word0 = jnp.sum((counts & 1) << shifts, axis=1, keepdims=True)
-        out_ref[:] = a_ref[:]
-        out_ref[:, 0:1] = a_ref[:, 0:1] ^ word0.astype(jnp.uint32)
+        _const_word_update(selbits_ref, pfconst_ref, a_ref, out_ref)
 
     @pl.when(~skip & ~const_only)
     def _compute():
@@ -193,7 +187,7 @@ def panel_update_mxu4(a, sel, pf, *, interpret: bool = False, w0=None):
             interpret=interpret,
         )(selbits, pfbits2, packw, a)
     w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
-    pfconst = ((pf[:, 0:1] >> _SHIFTS32[None, :]) & 1).astype(jnp.int8)
+    pfconst = _pfconst_planes(pf)
     return pl.pallas_call(
         _mxu4_kernel_trailing,
         out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
@@ -287,19 +281,31 @@ def _mxu_kernel_trailing(
 
     @pl.when(const_only)
     def _const():
-        counts = jnp.dot(
-            selbits_ref[:], pfconst_ref[:], preferred_element_type=jnp.int32
-        )  # (TR, 32): per-plane parities of the const word
-        shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
-        word0 = jnp.sum(
-            (counts & 1) << shifts, axis=1, keepdims=True
-        )  # exact: one distinct power of two per lane, no carries
-        out_ref[:] = a_ref[:]
-        out_ref[:, 0:1] = a_ref[:, 0:1] ^ word0.astype(jnp.uint32)
+        _const_word_update(selbits_ref, pfconst_ref, a_ref, out_ref)
 
     @pl.when(~skip & ~const_only)
     def _compute():
         _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
+
+
+def _const_word_update(selbits_ref, pfconst_ref, a_ref, out_ref):
+    """Shared tile-0 const-only path: update ONLY word 0 via a (TR, K) x
+    (K, 32) matmul against the const word's bit planes, pass the rest
+    through.  Correctness-critical and shared by every trailing kernel."""
+    counts = jnp.dot(
+        selbits_ref[:], pfconst_ref[:], preferred_element_type=jnp.int32
+    )  # (TR, 32): per-plane parities of the const word
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
+    word0 = jnp.sum(
+        (counts & 1) << shifts, axis=1, keepdims=True
+    )  # exact: one distinct power of two per lane, no carries
+    out_ref[:] = a_ref[:]
+    out_ref[:, 0:1] = a_ref[:, 0:1] ^ word0.astype(jnp.uint32)
+
+
+def _pfconst_planes(pf):
+    """(K, 32) int8 bit planes of the const word pf[:, 0]."""
+    return ((pf[:, 0:1] >> _SHIFTS32[None, :]) & 1).astype(jnp.int8)
 
 
 def panel_update_mxu2(a, sel, pf, *, interpret: bool = False, w0=None):
@@ -384,7 +390,7 @@ def panel_update_mxu(a, sel, pf, *, interpret: bool = False, w0=None):
         )(selbits, pfbits, a)
     w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
     # bit planes of the const word (pf[:, 0]) for the tile-0 const-only path
-    pfconst = ((pf[:, 0:1] >> _SHIFTS32[None, :]) & 1).astype(jnp.int8)
+    pfconst = _pfconst_planes(pf)
     return pl.pallas_call(
         _mxu_kernel_trailing,
         out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),

@@ -81,17 +81,14 @@ def solve_batch(
             )
         # one stacked device program (ops/gauss_batched) unless the stacked
         # batch would be unreasonably large on device
-        from ..ops.gauss_batched import solve_batched
-        from ..ops.gauss_blocked import K_PANEL, _ROW_BUCKET
+        from ..ops.gauss_batched import padded_batch_dims, solve_batched
 
         # estimate from the PADDED dims solve_batched will actually allocate
-        # (rows bucketed to _ROW_BUCKET, words aligned to the pallas lane
-        # width) — the unpadded dims can undershoot several-fold for short
-        # rows / narrow systems and risk a device OOM instead of the loop
+        # (shared helper, so the guard can't drift from the allocation) —
+        # the unpadded dims can undershoot several-fold for short rows /
+        # narrow systems and risk a device OOM instead of the loop
         rows_max = max(m.shape[0] for m in eq_mats)
-        rows_pad = max(_ROW_BUCKET, -(-rows_max // _ROW_BUCKET) * _ROW_BUCKET)
-        walign = max(K_PANEL // 32, 128)
-        wp = -(-(2 * eq_mats[0].shape[1]) // walign) * walign
+        rows_pad, wp = padded_batch_dims(rows_max, eq_mats[0].shape[1])
         est_bytes = len(eq_mats) * rows_pad * wp * 4
         if est_bytes <= 2 << 30:
             return solve_batched(eq_mats, cols, mode)

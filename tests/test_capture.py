@@ -246,6 +246,54 @@ def test_captured_quadratic_host_backend_mixed_widths():
     assert tmpl.solve_one(vals) == (secret,)
 
 
+def test_captured_bit_assert_guess_sweep():
+    """The SOUND captured guess-sweep idiom: bit_assert on a constant-free
+    bit with the guess in v — one captured structure per guess value,
+    per-instance observations bound through Params (review follow-up,
+    round 3).  A Param-carrying bit_assert TARGET is refused loudly: the
+    reference's mask-AND product formula is only sound for a fixed affine
+    part."""
+    from gf2bv_tpu import QuadraticSystem
+
+    n = 5
+    qsys = QuadraticSystem([n])
+    pairs = [(i, j) for i in range(n) for j in range(i)]
+
+    def make_model(guess):
+        def model(gens, p):
+            (x,) = gens
+            zeros = [
+                qsys.mul_bit(x[i], x[j]) ^ p[k]
+                for k, (i, j) in enumerate(pairs)
+            ]
+            zeros += [x[i] ^ p[len(pairs) + i - 1] for i in range(1, n)]
+            zeros += qsys.bit_assert(x[0], guess)  # guess is structural
+            return zeros
+
+        return model
+
+    tmpls = [qsys.capture(make_model(g)) for g in (0, 1)]
+    rnd = random.Random(11)
+    for _ in range(3):
+        secret = rnd.getrandbits(n) | 0b10
+        sb = [(secret >> i) & 1 for i in range(n)]
+        vals = [sb[i] & sb[j] for (i, j) in pairs]
+        vals += [sb[i] for i in range(1, n)]
+        hits = [
+            (g, tmpls[g].solve_one(vals)) for g in (0, 1)
+        ]
+        good = [(g, s) for g, s in hits if s is not None]
+        assert good == [(sb[0], (secret,))]
+
+    # Param-carrying target: refused with guidance, not silent garbage
+    def bad_model(gens, p):
+        (x,) = gens
+        return qsys.bit_assert(x[0] ^ p[0], 0)
+
+    with pytest.raises(ValueError, match="constant-free"):
+        qsys.capture(bad_model)
+
+
 def test_oracle_backend_fallback_path():
     lin = LinearSystem([24], backend="oracle")
 
