@@ -125,6 +125,101 @@ class CapturedTrace:
             return
         yield from self.system._enumerate_space(space, max_dimension)
 
+    # -- multi-RHS batch: ONE elimination for many instances ---------------
+
+    def solve_raw_batch(self, values_batch, mode: int = 0):
+        """Solve many instances with ONE device elimination (ops/multi_rhs):
+        the captured coefficient matrix is shared, so every instance is one
+        extra RHS column.  Up to 4096 instances per elimination; larger
+        batches chunk transparently.  Returns one entry per instance: raw
+        int / AffineSpace (mode 1 shares a single basis) / None."""
+        from ..ops import lazy_solve, multi_rhs
+        from ..ops.lazy_solve import _affine_vector
+
+        values_batch = [self._check(v) for v in values_batch]
+        if not values_batch:
+            return []
+        if not lazy_solve.eligible(self.system, self.zeros):
+            return [self._solve_internal(v, mode) for v in values_batch]
+
+        cs = lazy_solve.cached_system(self.system, self.zeros)
+        exprs = [z._expr for z in self.zeros]
+        out = []
+        for c0 in range(0, len(values_batch), multi_rhs.MAX_RHS):
+            chunk = values_batch[c0 : c0 + multi_rhs.MAX_RHS]
+            affs = self._affine_matrix(exprs, cs.widths, chunk)
+            # literal-1 early-out per instance: a dropped (zero-coefficient)
+            # row whose affine bit is set makes that instance unsatisfiable
+            lit_one = (affs & ~cs.kept_mask[None, :]).any(axis=1)
+            rhs = affs[:, cs.kept]
+            res = multi_rhs.solve_multi_rhs(
+                cs.a_dev, self.system._cols, rhs, mode
+            )
+            out.extend(
+                None if lit else r for lit, r in zip(lit_one, res)
+            )
+        return out
+
+    def _affine_matrix(self, exprs, widths, chunk) -> np.ndarray:
+        """(B, total_rows) uint8 affine columns for a batch of instances.
+
+        Fast path: when every Param sits in a root-level XOR chain over a
+        Param-free subtree (the natural ``traced_output ^ p[i]`` shape),
+        the whole affine column is base ^ bound-values — one vectorized
+        numpy pass for the batch instead of B interpreter walks (~3 ms
+        each at MT19937 scale)."""
+        from ..ops.lazy_solve import _affine_vector
+
+        plan = getattr(self, "_aff_plan", "?")
+        if plan == "?":
+            plan = self._aff_plan = _root_xor_plan(exprs)
+        if plan is None:
+            return np.stack(
+                [_affine_vector(exprs, widths, v) for v in chunk]
+            )
+        bases, param_lists, ws = plan
+        vals = np.tile(bases, (len(chunk), 1))  # (B, nroots) uint64
+        m64 = (1 << 64) - 1
+        for r, ps in enumerate(param_lists):
+            if not ps:
+                continue
+            wmask = np.uint64((1 << ws[r]) - 1)
+            for pi in ps:
+                col = np.fromiter(
+                    ((int(env[pi]) & m64) for env in chunk),
+                    dtype=np.uint64,
+                    count=len(chunk),
+                )
+                vals[:, r] ^= col & wmask
+        bits = np.unpackbits(
+            vals.view(np.uint8).reshape(len(chunk), len(ws), 8),
+            axis=2,
+            bitorder="little",
+        )
+        return np.concatenate(
+            [bits[:, r, :w] for r, w in enumerate(ws)], axis=1
+        )
+
+    def solve_one_batch(self, values_batch, *, max_dimension: int = 16):
+        """Batched solve_one.  Quadratic systems route each instance's
+        space through the consistency filter (first consistent point)."""
+        raws = self.solve_raw_batch(
+            values_batch,
+            mode=1 if getattr(self.system, "_quad_size", None) is not None
+            else 0,
+        )
+        out = []
+        for r in raws:
+            if r is None:
+                out.append(None)
+            elif isinstance(r, int):
+                out.append(self.system.convert_sol(r))
+            else:  # AffineSpace (quadratic): first consistent point
+                out.append(
+                    next(self.system._enumerate_space(r, max_dimension), None)
+                )
+        return out
+
     # -- pickling (the reference's trace-cache pattern) --------------------
 
     def __getstate__(self):
@@ -144,6 +239,42 @@ class CapturedTrace:
             f"CapturedTrace(zeros={len(self.zeros)}, "
             f"nparams={self.nparams}, cols={self.system._cols})"
         )
+
+
+def _root_xor_plan(exprs):
+    """Detect the vectorizable shape: every Param reached ONLY through
+    root-level xorc chains over Param-free subtrees, all roots <= 64 bits
+    wide.  Returns (bases (nroots,) uint64, per-root param-index lists,
+    widths) or None (general per-instance interpretation needed)."""
+    hasp: dict[int, bool] = {}
+    for n in lazy.postorder(exprs):
+        hasp[id(n)] = (
+            n.op == "xorc" and isinstance(n.aux, lazy.Param)
+        ) or any(hasp[id(a)] for a in n.args)
+    plan, base_nodes = [], []
+    for e in exprs:
+        if e.width > 64:
+            return None
+        node, params, const = e, [], 0
+        while node.op == "xorc":
+            if isinstance(node.aux, lazy.Param):
+                params.append(node.aux.index)
+            else:
+                const ^= node.aux
+            node = node.args[0]
+        if hasp[id(node)]:
+            return None
+        plan.append((const, params, e.width))
+        base_nodes.append(node)
+    base_affs = lazy.affine_many(base_nodes)  # Param-free by construction
+    bases = np.array(
+        [
+            (b ^ c) & ((1 << w) - 1)
+            for b, (c, _, w) in zip(base_affs, plan)
+        ],
+        dtype=np.uint64,
+    )
+    return bases, [ps for _, ps, _ in plan], [w for _, _, w in plan]
 
 
 def capture(system, fn: Callable) -> CapturedTrace:

@@ -163,7 +163,10 @@ def rref_blocked(
     K = k_panel
     kw = K // 32
     rows, wp = a.shape
-    panels = wp // kw
+    # only panels that can contain pivot bits (<= cols) need scanning;
+    # words beyond them (width padding, multi-RHS columns) are carried
+    # along by the rank-K updates but never host a panel themselves
+    panels = min(wp // kw, -(-(1 + cols) // (32 * kw)))
     row_ids = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
     pf_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
     bit_ids = pf_ids  # (K,) 0..K-1

@@ -133,13 +133,9 @@ def _affine_vector(exprs, widths, env=None) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
 
-def solve_lazy(system, zeros, mode: int, env=None):
-    """The fused fast path.  Same return contract as ops.solver.solve.
-    ``env`` binds captured-trace Params (core/lazy.Param) per instance."""
-    from .gauss_blocked import K_PANEL
-    from . import extract_device
-
-    cols = system._cols
+def cached_system(system, zeros) -> "_CachedSystem":
+    """The device-cached coefficient structure for a lazy zeros list,
+    building (and LRU-inserting) it on first sight."""
     exprs = [z._expr for z in zeros]
     # backend AND the phase-engine env knobs are part of the key: a cache
     # hit must not keep stale engines after a GF2BV_TPU_BACKEND/PHASE1/
@@ -150,7 +146,7 @@ def solve_lazy(system, zeros, mode: int, env=None):
     )
     key = lazy.struct_key(
         exprs,
-        extra=lazy._ints(cols)
+        extra=lazy._ints(system._cols)
         + _backend_for(system).encode()
         + knobs.encode(),
     )
@@ -159,6 +155,18 @@ def solve_lazy(system, zeros, mode: int, env=None):
         cs = _build(system, exprs, key)
     else:
         _CACHE.move_to_end(key)
+    return cs
+
+
+def solve_lazy(system, zeros, mode: int, env=None):
+    """The fused fast path.  Same return contract as ops.solver.solve.
+    ``env`` binds captured-trace Params (core/lazy.Param) per instance."""
+    from .gauss_blocked import K_PANEL
+    from . import extract_device
+
+    cols = system._cols
+    exprs = [z._expr for z in zeros]
+    cs = cached_system(system, zeros)
 
     aff = _affine_vector(exprs, cs.widths, env)
     # a dropped (zero-coefficient) row with its affine bit set is the

@@ -1,0 +1,152 @@
+"""Multi-RHS solving: ONE elimination, thousands of instances.
+
+The defining property of a captured/lazy trace is that the COEFFICIENT
+matrix is shared across instances — only the affine column differs.  The
+classical consequence (the reference cannot exploit it: ``m4ri_solve``
+factors per call, ``/root/reference/gf2bv/_internal.c:359-502``): solving
+``A x = b_k`` for many k needs ONE reduction of ``[A | b_0 .. b_{B-1}]``.
+
+TPU-shaped: the per-instance affine columns are appended as ONE extra
+128-word tile on the right of the packed matrix (anything past ``cols``
+can never pivot — the panel scan's validity mask already guarantees it —
+so the rank-K updates simply carry the block along).  Up to 4096 instances
+ride a single blocked RREF for ~one extra word-tile of phase-2 work;
+per-instance origins and unsatisfiability fall out of the appended block,
+and in mode 1 all instances share one kernel basis (same coefficient
+matrix => same null space).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import packing
+from ..core.affine import AffineSpace
+
+_RHS_WORDS = 128  # appended tile width (pallas lane alignment); B <= 4096
+MAX_RHS = 32 * _RHS_WORDS
+
+
+# instance-count buckets: host packs / uploads / extracts only bw words,
+# the device pads the appended tile to _RHS_WORDS (static shapes per bucket)
+_BW_BUCKETS = (1, 8, 32, _RHS_WORDS)
+
+
+def _bw_for(nb: int) -> int:
+    for bw in _BW_BUCKETS:
+        if nb <= 32 * bw:
+            return bw
+    raise ValueError(f"multi-RHS supports at most {MAX_RHS} instances per call")
+
+
+def _pack_rhs(rhs_bits: np.ndarray, rows_pad: int, bw: int) -> np.ndarray:
+    """(B, rows) uint8 0/1 -> (rows_pad, bw) uint32: instance k's affine
+    bit of row r lands at word k>>5, bit k&31 of row r."""
+    nb, rows = rhs_bits.shape
+    padded = np.zeros((32 * bw, rows_pad), dtype=np.uint8)
+    padded[:nb, :rows] = rhs_bits
+    words = padded.T.reshape(rows_pad, bw, 32).astype(np.uint32)
+    return (words << np.arange(32, dtype=np.uint32)[None, None, :]).sum(
+        axis=2, dtype=np.uint32
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _extract_multi(rref32, pof, cols: int, wp: int, bw: int):
+    """(origins (32*bw, Wsol32) u32, unsat_words (bw,) u32) — only the
+    USED instance-word bucket is processed and read back (the tunnel D2H
+    of all 4096 potential origins costs more than the solve).
+
+    origin_k = RHS-column-k bits of the pivot rows; unsat bit k = some row
+    with an empty coefficient part still carries instance k's affine bit
+    (0*x = 1), the multi-column form of inconsistent_device."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    prow_safe = jnp.maximum(pof, 0)
+    r = rref32[prow_safe][:, wp : wp + bw]  # (cols, bw)
+    r = jnp.where((pof >= 0)[:, None], r, 0)
+    bits = ((r[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.uint8)
+    bits = bits.reshape(cols, 32 * bw).T  # (32*bw, cols)
+    nw32 = 2 * packing.nwords64(cols)
+    pad = nw32 * 32 - cols
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    origins = jnp.sum(
+        bits.reshape(32 * bw, nw32, 32).astype(jnp.uint32)
+        << shifts[None, None, :],
+        axis=2,
+        dtype=jnp.uint32,
+    )
+
+    coeff0 = rref32[:, 0] & ~jnp.uint32(1)  # ignore the inert bit-0 column
+    nonzero = coeff0 != 0
+    if wp > 1:
+        nonzero = nonzero | jnp.any(rref32[:, 1:wp] != 0, axis=1)
+    dead_rhs = jnp.where(nonzero[:, None], 0, rref32[:, wp : wp + bw])
+    unsat_words = jnp.bitwise_or.reduce(dead_rhs, axis=0)
+    return origins, unsat_words
+
+
+def solve_multi_rhs(
+    a32,
+    cols: int,
+    rhs_bits: np.ndarray,
+    mode: int = 0,
+    k_panel: int | None = None,
+    phase1: str | None = None,
+    phase2: str | None = None,
+):
+    """Solve the SAME coefficient matrix for many affine columns at once.
+
+    a32: (rows_pad, wp) uint32 packed matrix, host or device resident
+    (its own bit-0 affine column is inert and ignored); rhs_bits:
+    (B, rows) uint8 with instance k's affine bit per original row,
+    B <= 4096.  Returns one entry per instance: a raw solution int or
+    None (mode 0), or an AffineSpace (mode 1) — all instances sharing one
+    basis object (same coefficient matrix => same kernel).
+    """
+    from . import extract_device
+    from .gauss_blocked import K_PANEL, _pick_engines, rref_blocked
+
+    a_dev = jnp.asarray(a32, jnp.uint32)
+    rows_pad, wp = a_dev.shape
+    nb = rhs_bits.shape[0]
+    bw = _bw_for(nb)
+    # upload only the used instance words; the device zero-pads the tile
+    # to the lane-aligned _RHS_WORDS (tunnel H2D is the scarce resource)
+    rhs_dev = jnp.asarray(
+        _pack_rhs(np.asarray(rhs_bits, np.uint8), rows_pad, bw)
+    )
+    if bw < _RHS_WORDS:
+        rhs_dev = jnp.pad(rhs_dev, ((0, 0), (0, _RHS_WORDS - bw)))
+    a_aug = jnp.concatenate([a_dev, rhs_dev], axis=1)
+
+    k_panel = k_panel or K_PANEL
+    auto1, auto2 = _pick_engines(a_aug.shape[1])
+    phase1 = phase1 or auto1
+    phase2 = phase2 or auto2
+    rref32, pof, _ = rref_blocked(a_aug, cols, k_panel, phase2, phase1)
+    origins32, unsat_words = jax.device_get(
+        _extract_multi(rref32, pof, cols, wp, bw)
+    )
+
+    basis = None
+    if mode == 1:
+        pof_h = np.asarray(pof)
+        basis = extract_device._basis_host_orchestrated(rref32, pof_h, cols)
+
+    out = []
+    for k in range(nb):
+        if (unsat_words[k >> 5] >> (k & 31)) & 1:
+            out.append(None)
+            continue
+        origin = packing.from_u32(origins32[k][None, :])[0]
+        if mode == 0:
+            out.append(packing.words_to_int(origin))
+        else:
+            out.append(AffineSpace(origin, basis, cols))
+    return out
