@@ -222,6 +222,24 @@ def bench_mt19937(bs: int = 32):
     tmpl_s = min(_timed(lambda: tmpl.solve_one(out))[0] for _ in range(3))
     log(f"captured-trace solve_one (full per-instance path): {tmpl_s:.3f}s")
 
+    # multi-RHS batch: B instances ride ONE elimination (ops/multi_rhs) —
+    # the serving-throughput number for "new outputs -> state" at scale
+    nb = 256
+    batch, states = [], []
+    for k in range(nb):
+        r = random.Random(91_000 + k)
+        states.append(tuple(r.getstate()[1][:-1]))
+        batch.append([r.getrandbits(32) for _ in range(samples)])
+    sols = tmpl.solve_one_batch(batch)  # warm (compile + caches)
+    assert sols == states
+    batch_s = min(
+        _timed(lambda: tmpl.solve_one_batch(batch))[0] for _ in range(2)
+    )
+    log(
+        f"captured multi-RHS batch: B={nb} in {batch_s:.3f}s = "
+        f"{nb / batch_s:.0f} full recoveries/s"
+    )
+
     # correctness: reference-style round trip
     s = packing.words_to_int(raw)
     sol = []
@@ -233,7 +251,10 @@ def bench_mt19937(bs: int = 32):
     assert all(rng2.getrandbits(bs) == o for o in out)
     log("round-trip verified")
 
-    return solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s
+    return (
+        solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
+        nb / batch_s,
+    )
 
 
 def main():
@@ -242,6 +263,7 @@ def main():
     log(f"devices: {jax.devices()}")
     (
         solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
+        batch_rate,
     ) = bench_mt19937()
     print(
         json.dumps(
@@ -255,6 +277,7 @@ def main():
                     "public_api_solve_one_s": round(api_s, 4),
                     "public_api_full_path_s": round(api_full_s, 4),
                     "captured_trace_full_path_s": round(tmpl_s, 4),
+                    "multi_rhs_recoveries_per_s_b256": round(batch_rate, 1),
                     "pipelined_solves_per_s": round(1 / pipe_s, 2),
                     "device_chained_solves_per_s": (
                         round(1 / chain_s, 2) if chain_s else None
