@@ -324,6 +324,56 @@ def fuzz_capture(n=12, per_template=3, seed=0xCA97):
     print(f"TPU fuzz [captured templates]: {n} templates x {per_template} OK")
 
 
+def fuzz_multi_rhs(n=8, seed=0x3B5):
+    """ops/multi_rhs on the real chip: random coefficient structures x
+    random instance batches (incl. planted-unsat columns) vs the oracle,
+    both modes; mode-1 instances must share the oracle's exact basis."""
+    from gf2bv_tpu.ops import multi_rhs
+    from gf2bv_tpu.ops.gauss_blocked import K_PANEL, _pad
+
+    rng = np.random.default_rng(seed)
+    cols, rows = 1500, 1600  # fixed shape: one compile for the sweep
+    for i in range(n):
+        nb = int(rng.integers(3, 40))
+        deficit = int(rng.integers(0, 4))
+        coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+        if deficit:
+            coeff[:, rng.permutation(cols)[:deficit]] = 0
+        coeff[rows - 1] = coeff[0] ^ coeff[1]  # dependent row for unsat planting
+        rhs, expect_bad = [], []
+        for k in range(nb):
+            secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+            b = (coeff @ secret) % 2
+            bad = bool(rng.integers(0, 3) == 0)
+            if bad:
+                b[rows - 1] ^= 1
+            rhs.append(b)
+            expect_bad.append(bad)
+        eqs = packing.pack_bits(
+            np.concatenate([np.zeros((rows, 1), np.uint8), coeff], axis=1),
+            1 + cols,
+        )
+        a32 = _pad(eqs, K_PANEL, word_align=128)
+        mode = int(rng.integers(0, 2))
+        got = multi_rhs.solve_multi_rhs(a32, cols, np.stack(rhs), mode)
+        for k in range(nb):
+            bits = np.concatenate([rhs[k][:, None], coeff], axis=1)
+            ref = solve_oracle(packing.pack_bits(bits, 1 + cols), cols)
+            assert ref.consistent != expect_bad[k], f"[mrhs {i}.{k}] plant"
+            if expect_bad[k]:
+                assert got[k] is None, f"[mrhs {i}.{k}] unsat"
+                continue
+            if mode == 0:
+                assert got[k] == packing.words_to_int(ref.origin), f"[mrhs {i}.{k}]"
+            else:
+                assert got[k].origin == packing.words_to_int(ref.origin), f"[mrhs {i}.{k}] o1"
+                assert got[k].basis == [
+                    packing.words_to_int(b) for b in ref.basis
+                ], f"[mrhs {i}.{k}] basis"
+        print(f"[mrhs {i}] nb={nb} mode={mode} OK", file=sys.stderr)
+    print(f"TPU fuzz [multi-RHS cols={cols}]: {n} sweeps OK")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
@@ -334,3 +384,4 @@ if __name__ == "__main__":
     fuzz_lazy(max(10, n // 2), seed=seed ^ 0x44)
     fuzz_quad(max(8, n // 3), seed=seed ^ 0x55)
     fuzz_capture(max(8, n // 3), seed=seed ^ 0x66)
+    fuzz_multi_rhs(max(6, n // 4), seed=seed ^ 0x77)

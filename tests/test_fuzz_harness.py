@@ -36,3 +36,7 @@ def test_fuzz_quad_mini():
 
 def test_fuzz_capture_mini():
     tpu_fuzz.fuzz_capture(n=2, per_template=2, seed=0xCA11)
+
+
+def test_fuzz_multi_rhs_mini():
+    tpu_fuzz.fuzz_multi_rhs(n=1, seed=0x3B51)
