@@ -79,6 +79,19 @@ def recover_many_captured(n_instances: int = 5):
         assert observed == [replay.getrandbits(32) for _ in range(624)]
     print("all instances recovered (no re-trace after the first)")
 
+    # at scale, batches ride ONE elimination (multi-RHS): every instance is
+    # an appended RHS column of the shared coefficient matrix
+    nb = 64
+    batch = []
+    for k in range(nb):
+        src = random.Random(52_000 + k)
+        batch.append([src.getrandbits(32) for _ in range(624)])
+    with timeit(f"multi-RHS batch of {nb}"):
+        states = tmpl.solve_one_batch(batch)
+    for k, st in enumerate(states):
+        assert st == tuple(random.Random(52_000 + k).getstate()[1][:-1])
+    print(f"{nb} victims recovered in one elimination")
+
 
 if __name__ == "__main__":
     for bs in (32, 17, 9, 1):
