@@ -134,7 +134,6 @@ class CapturedTrace:
         batches chunk transparently.  Returns one entry per instance: raw
         int / AffineSpace (mode 1 shares a single basis) / None."""
         from ..ops import lazy_solve, multi_rhs
-        from ..ops.lazy_solve import _affine_vector
 
         values_batch = [self._check(v) for v in values_batch]
         if not values_batch:
@@ -145,6 +144,7 @@ class CapturedTrace:
         cs = lazy_solve.cached_system(self.system, self.zeros)
         exprs = [z._expr for z in self.zeros]
         out = []
+        basis_cache: dict = {}  # mode-1 basis is chunk-invariant
         for c0 in range(0, len(values_batch), multi_rhs.MAX_RHS):
             chunk = values_batch[c0 : c0 + multi_rhs.MAX_RHS]
             affs = self._affine_matrix(exprs, cs.widths, chunk)
@@ -153,7 +153,8 @@ class CapturedTrace:
             lit_one = (affs & ~cs.kept_mask[None, :]).any(axis=1)
             rhs = affs[:, cs.kept]
             res = multi_rhs.solve_multi_rhs(
-                cs.a_dev, self.system._cols, rhs, mode
+                cs.a_dev, self.system._cols, rhs, mode,
+                basis_cache=basis_cache,
             )
             out.extend(
                 None if lit else r for lit, r in zip(lit_one, res)
@@ -192,7 +193,11 @@ class CapturedTrace:
                 )
                 vals[:, r] ^= col & wmask
         bits = np.unpackbits(
-            vals.view(np.uint8).reshape(len(chunk), len(ws), 8),
+            # pin little-endian like core/packing.py's views (LE hosts:
+            # no-op; keeps the fast path byte-order-correct everywhere)
+            vals.astype("<u8", copy=False).view(np.uint8).reshape(
+                len(chunk), len(ws), 8
+            ),
             axis=2,
             bitorder="little",
         )

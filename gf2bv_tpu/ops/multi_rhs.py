@@ -67,7 +67,9 @@ def _extract_multi(rref32, pof, cols: int, wp: int, bw: int):
     (0*x = 1), the multi-column form of inconsistent_device."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
     prow_safe = jnp.maximum(pof, 0)
-    r = rref32[prow_safe][:, wp : wp + bw]  # (cols, bw)
+    # slice the RHS tile BEFORE gathering: the gather then touches only
+    # (cols, bw) words instead of full-width rows
+    r = rref32[:, wp : wp + bw][prow_safe]  # (cols, bw)
     r = jnp.where((pof >= 0)[:, None], r, 0)
     bits = ((r[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.uint8)
     bits = bits.reshape(cols, 32 * bw).T  # (32*bw, cols)
@@ -99,6 +101,7 @@ def solve_multi_rhs(
     k_panel: int | None = None,
     phase1: str | None = None,
     phase2: str | None = None,
+    basis_cache: dict | None = None,
 ):
     """Solve the SAME coefficient matrix for many affine columns at once.
 
@@ -108,6 +111,11 @@ def solve_multi_rhs(
     B <= 4096.  Returns one entry per instance: a raw solution int or
     None (mode 0), or an AffineSpace (mode 1) — all instances sharing one
     basis object (same coefficient matrix => same kernel).
+
+    ``basis_cache``: a caller-held dict; mode-1 callers looping chunks of
+    the same matrix pass the same dict so the kernel basis (identical
+    across chunks) is built at most once, and not at all when every
+    instance is unsatisfiable.
     """
     from . import extract_device
     from .gauss_blocked import K_PANEL, _pick_engines, rref_blocked
@@ -134,10 +142,14 @@ def solve_multi_rhs(
         _extract_multi(rref32, pof, cols, wp, bw)
     )
 
-    basis = None
-    if mode == 1:
-        pof_h = np.asarray(pof)
-        basis = extract_device._basis_host_orchestrated(rref32, pof_h, cols)
+    bcache = basis_cache if basis_cache is not None else {}
+
+    def _basis():
+        if "basis" not in bcache:
+            bcache["basis"] = extract_device._basis_host_orchestrated(
+                rref32, np.asarray(pof), cols
+            )
+        return bcache["basis"]
 
     out = []
     for k in range(nb):
@@ -148,5 +160,5 @@ def solve_multi_rhs(
         if mode == 0:
             out.append(packing.words_to_int(origin))
         else:
-            out.append(AffineSpace(origin, basis, cols))
+            out.append(AffineSpace(origin, _basis(), cols))
     return out
