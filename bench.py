@@ -232,12 +232,49 @@ def bench_mt19937(bs: int = 32):
         batch.append([r.getrandbits(32) for _ in range(samples)])
     sols = tmpl.solve_one_batch(batch)  # warm (compile + caches)
     assert sols == states
-    batch_s = min(
-        _timed(lambda: tmpl.solve_one_batch(batch))[0] for _ in range(2)
+    # e2e includes ~2 MB of host<->device traffic, which on THIS machine
+    # rides a dev tunnel fluctuating 5-500 MB/s — the spread across repeats
+    # is tunnel jitter, not solver variance, so log it explicitly
+    e2e = sorted(
+        _timed(lambda: tmpl.solve_one_batch(batch))[0] for _ in range(3)
     )
+    batch_s = e2e[0]
     log(
-        f"captured multi-RHS batch: B={nb} in {batch_s:.3f}s = "
-        f"{nb / batch_s:.0f} full recoveries/s"
+        f"captured multi-RHS batch e2e: B={nb} best {batch_s:.3f}s of "
+        f"{[round(t, 3) for t in e2e]} = {nb / batch_s:.0f} recoveries/s "
+        f"(spread is dev-tunnel I/O jitter on ~2 MB)"
+    )
+
+    # device rate: same elimination+extraction with inputs already device
+    # resident and only a tiny forced readback — the rate a production host
+    # sees (PCIe moves the ~2 MB in sub-ms).  This is the stable, hardware-
+    # meaningful multi-RHS number; e2e above is tunnel-bound on this box.
+    from gf2bv_tpu.ops import lazy_solve, multi_rhs
+
+    cs = lazy_solve.cached_system(lin, tmpl.zeros)
+    exprs = [z._expr for z in tmpl.zeros]
+    affs = tmpl._affine_matrix(exprs, cs.widths, batch)
+    bw = multi_rhs._bw_for(nb)
+    rhs_dev = jnp.asarray(
+        multi_rhs._pack_rhs(affs[:, cs.kept], cs.a_dev.shape[0], bw)
+    )
+    _ = np.asarray(rhs_dev[:1, :1])  # force upload outside the timed region
+
+    def dev_solve():
+        _, _, origins, unsat = multi_rhs.solve_multi_rhs_device(
+            cs.a_dev, mt_jax.COLS, rhs_dev, bw
+        )
+        _ = np.asarray(unsat[:1])  # forces the fused executable
+        return origins
+
+    origins = dev_solve()  # warm
+    dev = sorted(_timed(dev_solve)[0] for _ in range(3))
+    dev_s = dev[0]
+    d2h_s, _ = _timed(lambda: jax.device_get(origins))
+    log(
+        f"multi-RHS device rate: B={nb} in {dev_s:.3f}s of "
+        f"{[round(t, 3) for t in dev]} = {nb / dev_s:.0f} recoveries/s/chip "
+        f"(origins D2H alone: {d2h_s:.3f}s through the tunnel)"
     )
 
     # correctness: reference-style round trip

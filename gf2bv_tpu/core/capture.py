@@ -130,9 +130,10 @@ class CapturedTrace:
     def solve_raw_batch(self, values_batch, mode: int = 0):
         """Solve many instances with ONE device elimination (ops/multi_rhs):
         the captured coefficient matrix is shared, so every instance is one
-        extra RHS column.  Up to 4096 instances per elimination; larger
-        batches chunk transparently.  Returns one entry per instance: raw
-        int / AffineSpace (mode 1 shares a single basis) / None."""
+        extra RHS column.  Up to 16384 instances (4 appended 128-word
+        tiles) per elimination; larger batches chunk transparently.
+        Returns one entry per instance: raw int / AffineSpace (mode 1
+        shares a single basis) / None."""
         from ..ops import lazy_solve, multi_rhs
 
         values_batch = [self._check(v) for v in values_batch]

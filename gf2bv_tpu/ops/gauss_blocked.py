@@ -180,6 +180,18 @@ def rref_blocked(
         mask = (jnp.uint32(0) - bits).astype(jnp.uint32)  # 0 or all-ones
         return jnp.bitwise_xor.reduce(mat & mask[:, None], axis=0)
 
+    if phase2.startswith("mxu_la"):
+        from .pallas_update import la_grid
+
+        if la_grid(rows, wp)[2] * 32 >= K and wp % 128 == 0:
+            return _rref_lookahead(
+                a, cols, K, kw, rows, wp, panels, pof0, trailing,
+                interpret=phase2.endswith("_interpret"),
+            )
+        # too few grid steps to finish a panel scan (the kernel caps the
+        # static unroll at 32 steps per grid step): plain MXU engine
+        phase2 = "mxu_interpret" if phase2.endswith("_interpret") else "mxu"
+
     interp = phase1.endswith("_interpret")
 
     def _panel_kernel_full(t, a, used, pof):
@@ -349,6 +361,64 @@ def rref_blocked(
     a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
     pof = pof[:cols]
 
+    from . import extract_device
+
+    return a, pof, extract_device.inconsistent_device(a)
+
+
+def _rref_lookahead(
+    a, cols: int, K: int, kw: int, rows: int, wp: int, panels: int,
+    pof0, trailing: bool, interpret: bool = False
+):
+    """Panel loop restructured for the fused scan+update megakernel
+    (pallas_update.panel_update_mxu_scan): the scan of panel t+1 rides
+    INSIDE the MXU update of panel t, so the two phases overlap on their
+    separate functional units instead of serializing.  Per iteration the
+    only extra serial work is a thin (rows, kw) rank-K pre-update of the
+    next slice (the megakernel's scan needs its input at kernel start) —
+    everything else (reconstruct, selector, pof) is the same glue as the
+    split path.  Bit-identical to the engine it replaces: same scan, same
+    reconstruct, same update formula."""
+    from .pallas_phase1 import _call_scan_kernel, phase1_reconstruct
+    from .pallas_update import panel_update_mxu_scan
+
+    bit_ids = lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+    used0 = jnp.zeros((1, rows), jnp.int32)
+    w0_arr0 = jnp.zeros((1,), jnp.int32)
+    # prologue: standalone scan of panel 0 (nothing to hide it under)
+    prow0, used1, cT0 = _call_scan_kernel(
+        a[:, :kw].T, used0, w0_arr0, K, cols, interpret
+    )
+
+    def la_body(t, carry):
+        a, used, pof, prow, cT = carry
+        w0 = t * kw
+        prow_safe = jnp.maximum(prow, 0)
+        arows = a[prow_safe]
+        coeff = cT[:, prow_safe].T
+        pf = phase1_reconstruct(arows, coeff, prow, w0, K, cols, interpret)
+        b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
+        s = selector_from_prow(b_orig, prow)
+        gbit = 32 * w0 + bit_ids
+        dst = jnp.where(prow >= 0, gbit - 1, cols)
+        pof = pof.at[dst].set(prow)
+        # pre-update the NEXT panel's thin slice (clamped reads past the
+        # last panel produce a garbage slice whose scan is all-invalid:
+        # gbit > cols for every column of panel `panels`)
+        w0n = w0 + kw
+        slice_n = lax.dynamic_slice(a, (0, w0n), (rows, kw))
+        pf_n = lax.dynamic_slice(pf, (0, w0n), (K, kw))
+        slice_n = rank_k_update_jnp(slice_n, s, pf_n)
+        a, prow_n, cT_n, used_n = panel_update_mxu_scan(
+            a, s, pf, slice_n.T, used, w0n, cols=cols,
+            w0=w0 if trailing else None, interpret=interpret,
+        )
+        return a, used_n, pof, prow_n, cT_n
+
+    a, _, pof, _, _ = lax.fori_loop(
+        0, panels, la_body, (a, used1, pof0, prow0, cT0)
+    )
+    pof = pof[:cols]
     from . import extract_device
 
     return a, pof, extract_device.inconsistent_device(a)

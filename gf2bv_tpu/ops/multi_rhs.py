@@ -6,14 +6,15 @@ classical consequence (the reference cannot exploit it: ``m4ri_solve``
 factors per call, ``/root/reference/gf2bv/_internal.c:359-502``): solving
 ``A x = b_k`` for many k needs ONE reduction of ``[A | b_0 .. b_{B-1}]``.
 
-TPU-shaped: the per-instance affine columns are appended as ONE extra
-128-word tile on the right of the packed matrix (anything past ``cols``
-can never pivot — the panel scan's validity mask already guarantees it —
-so the rank-K updates simply carry the block along).  Up to 4096 instances
-ride a single blocked RREF for ~one extra word-tile of phase-2 work;
-per-instance origins and unsatisfiability fall out of the appended block,
-and in mode 1 all instances share one kernel basis (same coefficient
-matrix => same null space).
+TPU-shaped: the per-instance affine columns are appended as extra 128-word
+tiles on the right of the packed matrix (anything past ``cols`` can never
+pivot — the panel scan's validity mask already guarantees it — so the
+rank-K updates simply carry the block along).  Up to ``MAX_RHS`` = 16384
+instances (4 appended tiles) ride a single blocked RREF for ~one extra
+word-tile of phase-2 work per 4096 instances; per-instance origins and
+unsatisfiability fall out of the appended block, and in mode 1 all
+instances share one kernel basis (same coefficient matrix => same null
+space).
 """
 
 from __future__ import annotations
@@ -28,13 +29,15 @@ import jax.numpy as jnp
 from ..core import packing
 from ..core.affine import AffineSpace
 
-_RHS_WORDS = 128  # appended tile width (pallas lane alignment); B <= 4096
-MAX_RHS = 32 * _RHS_WORDS
+_RHS_TILE = 128  # one appended tile (pallas lane alignment) = 4096 instances
+MAX_RHS_TILES = 4
+MAX_RHS = 32 * _RHS_TILE * MAX_RHS_TILES  # 16384 instances per elimination
 
 
 # instance-count buckets: host packs / uploads / extracts only bw words,
-# the device pads the appended tile to _RHS_WORDS (static shapes per bucket)
-_BW_BUCKETS = (1, 8, 32, _RHS_WORDS)
+# the device pads the appended block to whole _RHS_TILE tiles (static
+# shapes per bucket; each bucket compiles its own solver width)
+_BW_BUCKETS = (1, 8, 32, _RHS_TILE, 2 * _RHS_TILE, MAX_RHS_TILES * _RHS_TILE)
 
 
 def _bw_for(nb: int) -> int:
@@ -42,6 +45,10 @@ def _bw_for(nb: int) -> int:
         if nb <= 32 * bw:
             return bw
     raise ValueError(f"multi-RHS supports at most {MAX_RHS} instances per call")
+
+
+def _tiles_for(bw: int) -> int:
+    return -(-bw // _RHS_TILE)
 
 
 def _pack_rhs(rhs_bits: np.ndarray, rows_pad: int, bw: int) -> np.ndarray:
@@ -93,6 +100,42 @@ def _extract_multi(rref32, pof, cols: int, wp: int, bw: int):
     return origins, unsat_words
 
 
+def solve_multi_rhs_device(
+    a_dev,
+    cols: int,
+    rhs_dev,
+    bw: int,
+    k_panel: int | None = None,
+    phase1: str | None = None,
+    phase2: str | None = None,
+):
+    """Device-side core: augmented elimination + multi-column extraction.
+
+    a_dev: (rows_pad, wp) uint32 device matrix; rhs_dev: (rows_pad, bw)
+    uint32 packed per-instance affine columns (``_pack_rhs`` layout).
+    Returns DEVICE arrays (rref32, pof, origins32, unsat_words) with no
+    host synchronization — callers time/compose this, then device_get what
+    they need.  Kept separate from the host wrapper so benchmarks can
+    attribute device rate vs tunnel I/O (the e2e number on this machine is
+    dominated by the 5-500 MB/s dev-tunnel transfers).
+    """
+    from .gauss_blocked import K_PANEL, _pick_engines, rref_blocked
+
+    rows_pad, wp = a_dev.shape
+    want = _tiles_for(bw) * _RHS_TILE
+    if rhs_dev.shape[1] < want:
+        rhs_dev = jnp.pad(rhs_dev, ((0, 0), (0, want - rhs_dev.shape[1])))
+    a_aug = jnp.concatenate([a_dev, rhs_dev], axis=1)
+
+    k_panel = k_panel or K_PANEL
+    auto1, auto2 = _pick_engines(a_aug.shape[1])
+    phase1 = phase1 or auto1
+    phase2 = phase2 or auto2
+    rref32, pof, _ = rref_blocked(a_aug, cols, k_panel, phase2, phase1)
+    origins32, unsat_words = _extract_multi(rref32, pof, cols, wp, bw)
+    return rref32, pof, origins32, unsat_words
+
+
 def solve_multi_rhs(
     a32,
     cols: int,
@@ -108,9 +151,9 @@ def solve_multi_rhs(
     a32: (rows_pad, wp) uint32 packed matrix, host or device resident
     (its own bit-0 affine column is inert and ignored); rhs_bits:
     (B, rows) uint8 with instance k's affine bit per original row,
-    B <= 4096.  Returns one entry per instance: a raw solution int or
-    None (mode 0), or an AffineSpace (mode 1) — all instances sharing one
-    basis object (same coefficient matrix => same kernel).
+    B <= MAX_RHS (16384).  Returns one entry per instance: a raw solution
+    int or None (mode 0), or an AffineSpace (mode 1) — all instances
+    sharing one basis object (same coefficient matrix => same kernel).
 
     ``basis_cache``: a caller-held dict; mode-1 callers looping chunks of
     the same matrix pass the same dict so the kernel basis (identical
@@ -118,29 +161,20 @@ def solve_multi_rhs(
     instance is unsatisfiable.
     """
     from . import extract_device
-    from .gauss_blocked import K_PANEL, _pick_engines, rref_blocked
 
     a_dev = jnp.asarray(a32, jnp.uint32)
     rows_pad, wp = a_dev.shape
     nb = rhs_bits.shape[0]
     bw = _bw_for(nb)
-    # upload only the used instance words; the device zero-pads the tile
-    # to the lane-aligned _RHS_WORDS (tunnel H2D is the scarce resource)
+    # upload only the used instance words; the device zero-pads the block
+    # to whole lane-aligned tiles (tunnel H2D is the scarce resource)
     rhs_dev = jnp.asarray(
         _pack_rhs(np.asarray(rhs_bits, np.uint8), rows_pad, bw)
     )
-    if bw < _RHS_WORDS:
-        rhs_dev = jnp.pad(rhs_dev, ((0, 0), (0, _RHS_WORDS - bw)))
-    a_aug = jnp.concatenate([a_dev, rhs_dev], axis=1)
-
-    k_panel = k_panel or K_PANEL
-    auto1, auto2 = _pick_engines(a_aug.shape[1])
-    phase1 = phase1 or auto1
-    phase2 = phase2 or auto2
-    rref32, pof, _ = rref_blocked(a_aug, cols, k_panel, phase2, phase1)
-    origins32, unsat_words = jax.device_get(
-        _extract_multi(rref32, pof, cols, wp, bw)
+    rref32, pof, origins_dev, unsat_dev = solve_multi_rhs_device(
+        a_dev, cols, rhs_dev, bw, k_panel, phase1, phase2
     )
+    origins32, unsat_words = jax.device_get((origins_dev, unsat_dev))
 
     bcache = basis_cache if basis_cache is not None else {}
 

@@ -24,6 +24,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -408,6 +409,199 @@ def panel_update_mxu(a, sel, pf, *, interpret: bool = False, w0=None):
         cost_estimate=cost,
         interpret=interpret,
     )(w0_arr, pfconst, selbits, pfbits, a)
+
+
+# ---------------------------------------------------------------------------
+# Look-ahead megakernel ("mxu_la"): the trailing rank-K update of panel t
+# FUSED with the forward scan of panel t+1 in ONE Mosaic instruction stream.
+#
+# Two separate pallas calls can never overlap on a TPU core (HLOs execute
+# sequentially), so the ~23 ms of VPU-bound phase-1 scan work sits strictly
+# after the ~47 ms of MXU-bound phase-2 work every solve.  Inside a single
+# kernel the scalar core issues both streams and the units run concurrently
+# — the same mechanism that already hides the VPU repack under the bit-plane
+# matmuls here.  Schedule: one scan step per grid step (the grid has >= K
+# steps at flagship shapes; smaller shapes take ``spp`` steps per grid
+# step), with the thin scan state (bT/cT/used) persistent across grid steps
+# in scratch/constant-mapped outputs.  The scan is bit-identical to
+# pallas_phase1._make_scan_kernel: same static sub-word windows (via
+# pl.when on the grid step id), same min-lane pivot election.
+# ---------------------------------------------------------------------------
+
+
+def _make_mxu_scan_kernel(
+    rows: int, K: int, kw: int, cols: int, spp: int, ngrid: int
+):
+    def kernel(
+        w0_ref,       # SMEM (2,): [trailing boundary word, next-panel word]
+        pfconst_ref,  # VMEM (K, 32) int8 const-word planes
+        selbits_ref,  # VMEM (tr, K) int8 tile
+        pfbits_ref,   # VMEM (32, K, tw) int8 tile
+        a_ref,        # VMEM (tr, tw) u32 tile
+        bTn_in,       # VMEM (kw, rows) u32: PRE-UPDATED next panel slice^T
+        used_in,      # VMEM (1, rows) i32
+        out_ref,      # VMEM (tr, tw) u32 tile
+        prow_ref,     # SMEM (K,) i32
+        cT_ref,       # VMEM (kw, rows) u32 (constant map: resident)
+        used_ref,     # VMEM (1, rows) i32 (constant map: resident)
+        bT_s,         # scratch VMEM (kw, rows) u32
+    ):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        ni = pl.num_programs(1)
+        g = j * ni + i
+        tw = out_ref.shape[1]
+        w0 = w0_ref[0]
+        w0n = w0_ref[1]
+        lane_ids = lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+
+        @pl.when(g == 0)
+        def _init():
+            bT_s[:] = bTn_in[:]
+            used_ref[:] = used_in[:]
+            cT_ref[:] = jnp.zeros((kw, rows), jnp.uint32)
+
+        # ---- MXU part: the trailing rank-K update of THIS tile ----------
+        skip = (j > 0) & ((j + 1) * tw <= w0)
+        const_only = (j == 0) & (tw <= w0)
+
+        @pl.when(skip)
+        def _copy():
+            out_ref[:] = a_ref[:]
+
+        @pl.when(const_only)
+        def _const():
+            _const_word_update(selbits_ref, pfconst_ref, a_ref, out_ref)
+
+        @pl.when(~skip & ~const_only)
+        def _compute():
+            _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
+
+        # ---- VPU part: spp forward-scan steps of the NEXT panel ---------
+        def lane_extract(mat, piv):
+            sel = jnp.where(lane_ids == piv, mat.astype(jnp.int32), 0)
+            return jnp.sum(sel, axis=1, keepdims=True).astype(jnp.uint32)
+
+        for u in range(spp):
+            idx = g * spp + u if spp > 1 else g
+            for sw in range(kw):
+                # static sub-word window keeps every slice static (the
+                # triangular bT_s[sw:] structure of the standalone scan)
+                @pl.when((idx >= 32 * sw) & (idx < 32 * (sw + 1)))
+                def _scan(sw=sw, idx=idx):
+                    jj = idx
+                    jj32 = jj - 32 * sw
+                    gbit = 32 * w0n + jj
+                    valid = (gbit >= 1) & (gbit <= cols)
+                    shift = jj32.astype(jnp.uint32)
+                    colb = (bT_s[sw : sw + 1, :] >> shift) & 1
+                    cand = (colb == 1) & (used_ref[:] == 0) & valid
+                    piv = jnp.min(jnp.where(cand, lane_ids, rows))
+                    has = piv < rows
+                    piv_safe = jnp.where(has, piv, 0)
+                    prow_ref[jj] = jnp.where(has, piv, -1)
+                    bpiv = lane_extract(bT_s[sw:, :], piv_safe)
+                    elim = cand & (lane_ids != piv)
+                    em = jnp.where(
+                        elim, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+                    )
+                    bT_s[sw:, :] = bT_s[sw:, :] ^ (em & bpiv)
+                    cT_ref[sw : sw + 1, :] = cT_ref[sw : sw + 1, :] ^ (
+                        em & (jnp.uint32(1) << shift)
+                    )
+                    used_ref[:] = jnp.where(
+                        (lane_ids == piv) & has, jnp.int32(1), used_ref[:]
+                    )
+
+    return kernel
+
+
+def la_grid(rows: int, wp: int) -> tuple[int, int, int]:
+    """(nj, ni, total grid steps) the look-ahead kernel would use."""
+    tw = 128 if wp % 128 == 0 else wp
+    tr = min(TR, rows)
+    return wp // tw, rows // tr, (wp // tw) * (rows // tr)
+
+
+def panel_update_mxu_scan(
+    a, sel, pf, bTn, used, w0n, *, cols: int, w0=None, interpret: bool = False
+):
+    """Fused trailing update + next-panel scan (see module section above).
+
+    a/sel/pf as panel_update_mxu; bTn (kw, rows) u32 = the next panel's
+    slice^T ALREADY carrying this panel's rank-K update; used (1, rows)
+    i32; w0n traced next-panel word offset; w0 traced trailing boundary
+    (None = full update).  Returns (a', prow_next, cT_next, used_next).
+    """
+    rows, wp = a.shape
+    k = pf.shape[0]
+    kw = k // 32
+    tw = 128 if wp % 128 == 0 else wp
+    tr = min(TR, rows)
+    nj, ni, ngrid = la_grid(rows, wp)
+    spp = -(-k // ngrid)  # scan steps per grid step (1 at flagship shapes)
+    assert spp * ngrid >= k
+    grid = (nj, ni)
+    selbits = unpack_sel_bits(sel)
+    pfbits = unpack_pf_planes(pf)
+    pfconst = _pfconst_planes(pf)
+    w0_arr = jnp.stack(
+        [
+            jnp.asarray(0 if w0 is None else w0, jnp.int32),
+            jnp.asarray(w0n, jnp.int32),
+        ]
+    )
+    cost = pl.CostEstimate(
+        flops=2 * rows * k * wp * 32,
+        bytes_accessed=2 * rows * wp * 4 + rows * k + 32 * k * wp,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        _make_mxu_scan_kernel(rows, k, kw, cols, spp, ngrid),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((k,), jnp.int32),
+            jax.ShapeDtypeStruct((kw, rows), jnp.uint32),
+            jax.ShapeDtypeStruct((1, rows), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (k, 32), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (32, k, tw), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (kw, rows), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, rows), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tr, tw), lambda j, i: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (kw, rows), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, rows), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((kw, rows), jnp.uint32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(w0_arr, pfconst, selbits, pfbits, a, bTn, used)
 
 
 def pick_tw(wp: int) -> int:

@@ -139,6 +139,39 @@ def test_captured_batch_mode1_spaces_match():
         assert sp.basis == single.basis
 
 
+def test_multi_rhs_multitile_bucket():
+    """>4096 instances ride ONE elimination via multiple appended 128-word
+    tiles (bw=256 bucket); spot-check instances across the tile boundary
+    against the oracle, including a planted unsat."""
+    rng = np.random.default_rng(83)
+    rows, cols, nb = 96, 80, 4100
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    coeff[rows - 1] = coeff[0] ^ coeff[2]  # dependent row for planted unsat
+    secrets = rng.integers(0, 2, size=(nb, cols)).astype(np.uint8)
+    rhs = (secrets @ coeff.T) % 2
+    bad = {1, 4096, 4099}
+    for k in bad:
+        rhs[k, rows - 1] ^= 1
+    eqs = packing.pack_bits(
+        np.concatenate([np.zeros((rows, 1), np.uint8), coeff], axis=1),
+        1 + cols,
+    )
+    from gf2bv_tpu.ops.gauss_blocked import K_PANEL, _pad
+
+    a32 = _pad(eqs, K_PANEL, word_align=128)
+    assert multi_rhs._bw_for(nb) == 256  # the 2-tile bucket
+    got = multi_rhs.solve_multi_rhs(a32, cols, rhs.astype(np.uint8), 0)
+    assert len(got) == nb
+    for k in (0, 1, 7, 4095, 4096, 4097, 4099):
+        if k in bad:
+            assert got[k] is None, k
+            continue
+        bits = np.concatenate([rhs[k][:, None], coeff], axis=1)
+        ref = solve_oracle(packing.pack_bits(bits, 1 + cols), cols)
+        assert ref.consistent
+        assert got[k] == packing.words_to_int(ref.origin), k
+
+
 def test_multi_rhs_too_many_instances_rejected():
     with pytest.raises(ValueError, match="at most"):
         multi_rhs._bw_for(multi_rhs.MAX_RHS + 1)

@@ -343,6 +343,76 @@ def test_mxu4_panel_update_interpret():
     assert np.array_equal(got3, full)
 
 
+def test_blocked_solver_with_mxu_la_interpret():
+    """Look-ahead megakernel engine (phase-2 rank-K update fused with the
+    NEXT panel's phase-1 scan in one Pallas kernel) must produce the exact
+    same RREF / pivot map / verdict as the jnp engines: same scan order,
+    same update formula, just overlapped on the VPU/MXU."""
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops import gauss_blocked
+    from gf2bv_tpu.ops.pallas_update import la_grid
+
+    rng = np.random.default_rng(61)
+    cols, rows = 200, 300  # pads to (512 rows, 256 words): grid 2x2
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    coeff[rows - 6 :] = coeff[:6]  # dependent rows
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1)
+    eqs = packing.pack_bits(bits, 1 + cols)
+
+    a32 = gauss_blocked._pad(eqs, 128, word_align=256)
+    a_dev = jnp.asarray(a32)
+    assert la_grid(*a32.shape)[2] * 32 >= 128  # the engine must engage
+    got = gauss_blocked.rref_blocked(a_dev, cols, 128, "mxu_la_interpret")
+    want = gauss_blocked.rref_blocked(a_dev, cols, 128, "jnp", "jnp")
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))  # rref
+    assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))  # pof
+    assert bool(got[2]) == bool(want[2]) == False  # noqa: E712
+
+    # fused mode-0 trailing path: round-trip origin + planted unsat verdict
+    origin32, unsat = gauss_blocked.rref_origin_blocked(
+        a_dev, cols, 128, "mxu_la_interpret"
+    )
+    assert not bool(unsat)
+    want_o, _ = gauss_blocked.rref_origin_blocked(a_dev, cols, 128, "jnp", "jnp")
+    assert np.array_equal(np.asarray(origin32), np.asarray(want_o))
+    bits2 = bits.copy()
+    bits2[-1] = bits2[0]
+    bits2[-1, 0] ^= 1
+    a32u = gauss_blocked._pad(
+        packing.pack_bits(bits2, 1 + cols), 128, word_align=256
+    )
+    _, unsat2 = gauss_blocked.rref_origin_blocked(
+        jnp.asarray(a32u), cols, 128, "mxu_la_interpret"
+    )
+    assert bool(unsat2)
+
+
+def test_mxu_la_narrow_fallback_interpret():
+    """Too few grid steps to host a full panel scan (narrow matrix): the
+    mxu_la request silently falls back to the plain MXU engine and still
+    solves correctly."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_solver import random_system
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+    from gf2bv_tpu.ops.pallas_update import la_grid
+
+    rng = np.random.default_rng(62)
+    eqs, _ = random_system(rng, 100, 80, rank_deficit=3)
+    assert la_grid(256, 128)[2] * 32 < 256  # gate must reject this shape
+    ref = solve_oracle(eqs, 80)
+    got = solve_blocked(eqs, 80, 1, phase2="mxu_la_interpret")
+    origin, basis = got
+    assert packing.words_to_int(origin) == packing.words_to_int(ref.origin)
+    assert packing.rows_to_ints(basis) == packing.rows_to_ints(ref.basis)
+
+
 def test_blocked_solver_with_mxu4_interpret():
     """Full solve through the mxu4 engine vs the oracle."""
     from gf2bv_tpu.ops.gauss_blocked import solve_blocked
