@@ -8,8 +8,8 @@ register, one `mul_bit`-built annihilator equation appended per keystream
 1 (the style of ``/root/reference/examples/nlfsr.py:49-57``).  The lazy
 engine makes that style fast without any rewrite: each `mul_bit` records a
 ``mulq`` node, and the whole zeros list materializes at solve time in one
-shared walk with a single batched monomial expansion
-(core/lazy._batch_mulq).
+shared walk with a single batched monomial expansion on the XLA CPU
+backend (core/lazy.materialize_many -> ops/quad_device.mul_bits_batch).
 
 All workload parameters and the combiner/annihilator pair are imported
 from examples/nlfsr.py — the two files ARE the same attack, expressed in

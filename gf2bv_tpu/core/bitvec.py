@@ -42,6 +42,20 @@ def _const_rows_cached(value: int, width: int, nw: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=8192)
+def _and_col_cached(width: int, mask: int):
+    """uint64 0/1 column for ``BitVec & int`` (None = all-ones, a no-op).
+    Symbolic register steps AND the same tap/tempering constant tens of
+    thousands of times per trace; the cached column makes the op one
+    vectorized multiply."""
+    bits = _mask_bits_cached(width, mask)
+    if bits.all():
+        return None
+    col = bits[:, None].astype(np.uint64)
+    col.setflags(write=False)
+    return col
+
+
 class BitVec:
     __slots__ = ("rows", "nbits")
 
@@ -151,10 +165,10 @@ class BitVec:
         return self._wrap(np.concatenate([pad, self.rows], axis=0))
 
     def __and__(self, mask: int):
-        bits = packing.mask_bits(len(self), mask)
-        if bits.all():
+        col = _and_col_cached(len(self), mask)
+        if col is None:
             return self
-        return self._wrap(self.rows * bits[:, None].astype(np.uint64))
+        return self._wrap(self.rows * col)
 
     __rand__ = __and__
 
@@ -213,7 +227,8 @@ class BitVec:
         return self._wrap(np.concatenate([self.rows, top], axis=0))
 
     def broadcast(self, i: int, n: int):
-        return self._wrap(np.broadcast_to(self.rows[i : i + 1], (n, self.rows.shape[1])).copy())
+        # np.repeat materializes ~3x faster than broadcast_to().copy()
+        return self._wrap(np.repeat(self.rows[i : i + 1], n, axis=0))
 
     def dup(self, n: int):
         return self._wrap(np.tile(self.rows, (n, 1)))

@@ -229,94 +229,121 @@ def materialize_many(exprs, strip_consts: bool = False):
     each — the reference's per-bit idiom (examples/nlfsr.py:49-57) then
     materializes ~3x faster than row-at-a-time.
     """
-    order = list(postorder(exprs))
-    prememo = _batch_mulq(order, strip_consts)
-    if prememo:
-        # prememo'd nodes (and everything only THEY reach) are done: walk
-        # only what is reachable from the roots without entering them — the
-        # heavy shared chain below the products is never walked twice
-        needed: set[int] = set()
-        stack = list(exprs)
-        while stack:
-            nd = stack.pop()
-            if id(nd) in needed or id(nd) in prememo:
-                continue
-            needed.add(id(nd))
-            stack.extend(nd.args)
-        order = [n for n in order if id(n) in needed]
-
+    # one DFS builds the postorder, the consumer refcounts, and the
+    # flat-mulq classification together (three per-node dict passes fused:
+    # ~25% of the walk at NLFSR scale was this bookkeeping).
+    # has_mulq[n]: any mulq at-or-below n; flat mulq nodes (no nested mulq
+    # in their operands) evaluate as ONE vectorized expansion per system
+    # between two passes over the same postorder: pass A evaluates the
+    # product-free part of the DAG (which contains every flat-mulq operand
+    # by construction), the batch point expands all products at once, pass
+    # C evaluates everything downstream.  Single walk, single refcount.
+    order: list[Expr] = []
     nconsumers: dict[int, int] = {}
-    for n in order:
-        for ch in n.args:
-            nconsumers[id(ch)] = nconsumers.get(id(ch), 0) + 1
+    has_mulq: dict[int, bool] = {}
+    flat: list[Expr] = []
+    seen: set[int] = set()
+    stack = [(r, False) for r in reversed(exprs)]
+    while stack:
+        node, expanded = stack.pop()
+        if expanded:
+            order.append(node)
+            hm = False
+            for a in node.args:
+                aid = id(a)
+                nconsumers[aid] = nconsumers.get(aid, 0) + 1
+                hm = hm or has_mulq[aid]
+            if node.op == "mulq":
+                if not hm:
+                    flat.append(node)
+                hm = True
+            has_mulq[id(node)] = hm
+            continue
+        nid = id(node)
+        if nid in seen:
+            continue
+        seen.add(nid)
+        stack.append((node, True))
+        stack.extend((ch, False) for ch in reversed(node.args))
     for r in exprs:
         nconsumers[id(r)] = nconsumers.get(id(r), 0) + 1  # keep the roots
+    batched = (
+        {id(n) for n in flat} if len(flat) >= _MULQ_MIN_BATCH else set()
+    )
 
     memo: dict[int, BitVec] = {}
-    for n in order:
-        ch = [
-            prememo[id(a)] if id(a) in prememo else memo[id(a)]
-            for a in n.args
-        ]
-        memo[id(n)] = _eval_coeff(n, ch, strip_consts)
+
+    def _consume(n):
         for a in n.args:
             aid = id(a)
-            if aid in prememo:
-                continue  # prememo entries are tiny; keep them
             nconsumers[aid] -= 1
             if nconsumers[aid] == 0:
                 del memo[aid]
-    return [
-        (prememo[id(e)] if id(e) in prememo else memo[id(e)]).rows
-        for e in exprs
-    ]
+
+    for n in order:  # pass A: the product-free part of the DAG
+        nid = id(n)
+        if has_mulq[nid]:
+            continue
+        memo[nid] = _eval_coeff(
+            n, [memo[id(a)] for a in n.args], strip_consts
+        )
+        _consume(n)
+
+    if batched:  # batch point: one vectorized expansion per system
+        by_sys: dict[int, list] = {}
+        for n in flat:
+            by_sys.setdefault(id(n.aux), []).append(n)
+        for group in by_sys.values():
+            qsys = group[0].aux
+            nw_lin = -(-(1 + qsys._lin_size) // 64)
+            a_rows = np.stack(
+                [memo[id(n.args[0])].rows[0][:nw_lin] for n in group]
+            )
+            b_rows = np.stack(
+                [memo[id(n.args[1])].rows[0][:nw_lin] for n in group]
+            )
+            prod_rows = _expand_products(qsys, a_rows, b_rows)
+            for k, n in enumerate(group):
+                memo[id(n)] = BitVec(prod_rows[k : k + 1], n.nbits)
+        for n in flat:
+            _consume(n)
+
+    for n in order:  # pass C: everything downstream of a product
+        nid = id(n)
+        if not has_mulq[nid] or nid in batched:
+            continue
+        memo[nid] = _eval_coeff(
+            n, [memo[id(a)] for a in n.args], strip_consts
+        )
+        _consume(n)
+
+    return [memo[id(e)].rows for e in exprs]
 
 
-def _batch_mulq(order, strip_consts: bool, min_batch: int = 8):
-    """Pre-evaluate mulq nodes whose operands contain no nested mulq: one
-    shared walk over all operands, then ONE vectorized ``mul_bits`` per
-    quadratic system.  Returns {id(node): BitVec} to seed the main walk."""
-    has_mulq: dict[int, bool] = {}
-    for n in order:
-        has_mulq[id(n)] = n.op == "mulq" or any(
-            has_mulq[id(a)] for a in n.args
-        )
-    flat = [
-        n
-        for n in order
-        if n.op == "mulq" and not any(has_mulq[id(a)] for a in n.args)
-    ]
-    if len(flat) < min_batch:
-        return {}
-    operands = []
-    seen = {}
-    for n in flat:
-        for a in n.args:
-            if id(a) not in seen:
-                seen[id(a)] = len(operands)
-                operands.append(a)
-    mats = materialize_many(operands, strip_consts)
-    # seed the operands too: they usually reappear as linear terms of the
-    # same zeros (e.g. the annihilator's x0 ^ x1 ^ x2 tail), and seeding
-    # them stops the main walk from re-walking the shared chain
-    out: dict[int, BitVec] = {
-        id(a): BitVec(mats[seen[id(a)]], a.nbits) for a in operands
-    }
-    by_sys: dict[int, list] = {}
-    for n in flat:
-        by_sys.setdefault(id(n.aux), []).append(n)
-    for group in by_sys.values():
-        qsys = group[0].aux
-        nw_lin = -(-(1 + qsys._lin_size) // 64)
-        a_rows = np.stack([mats[seen[id(n.args[0])]][0][:nw_lin] for n in group])
-        b_rows = np.stack([mats[seen[id(n.args[1])]][0][:nw_lin] for n in group])
-        prod = qsys.mul_bits(
-            BitVec(a_rows, 1 + qsys._lin_size),
-            BitVec(b_rows, 1 + qsys._lin_size),
-        )
-        for k, n in enumerate(group):
-            out[id(n)] = BitVec(prod.rows[k : k + 1], n.nbits)
-    return out
+_MULQ_MIN_BATCH = 8  # below this, per-node numpy row expansion is cheaper
+
+
+# route big monomial expansions through XLA CPU (ops/quad_device.
+# mul_bits_batch, bit-exact, ~5x the numpy loop at NLFSR scale); tiny
+# batches stay on the numpy path (jit dispatch overhead dominates there).
+# GF2BV_TPU_MULBITS=host forces the numpy loop everywhere.
+_XLA_MULBITS_MIN_WORK = 1 << 22  # B * n^2 threshold
+
+
+def _expand_products(qsys, a_rows: np.ndarray, b_rows: np.ndarray):
+    import os
+
+    n = qsys._lin_size
+    if (
+        os.environ.get("GF2BV_TPU_MULBITS") != "host"
+        and a_rows.shape[0] * n * n >= _XLA_MULBITS_MIN_WORK
+    ):
+        from ..ops.quad_device import mul_bits_batch
+
+        return mul_bits_batch(qsys, a_rows, b_rows)
+    return qsys.mul_bits(
+        BitVec(a_rows, 1 + n), BitVec(b_rows, 1 + n)
+    ).rows
 
 
 def _promote(a: BitVec, b: BitVec):

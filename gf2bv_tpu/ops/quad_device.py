@@ -23,6 +23,7 @@ with the reference's monomial order (i outer, j inner, i > j).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -135,3 +136,64 @@ def quad_rows(
     return _quad_rows_kernel(
         jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(lc), n, nw32
     )
+
+
+# --------------------------------------------------------------------------
+# Batched monomial expansion on the XLA *CPU* backend — the materialize-time
+# replacement for QuadraticSystem.mul_bits' numpy loop (core/lazy.
+# materialize_many routes here).  Deliberately NOT the accelerator: the
+# expansion feeds the
+# host-side coefficient assembly, and on this machine's dev tunnel the ~17 MB
+# of product rows would cost more to read back than the whole computation;
+# XLA's vectorized CPU code is ~an order of magnitude faster than the numpy
+# per-monomial-block loop with zero transfer risk.
+
+_ROW_BUCKETS = (1024, 4096, 16384)  # bounded compile count; larger = chunked
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _mul_bits_kernel(a32, b32, n: int, nw32: int):
+    """a32/b32: (B, Wn32) narrow packed operands -> (B, nw32) full-width
+    packed product rows, mul_bits' monomial order (i outer, j < i inner)."""
+    tri_i, tri_j = np.tril_indices(n, k=-1)
+    gi = jnp.asarray(tri_i + 1)
+    gj = jnp.asarray(tri_j + 1)
+    abits = _unpack_device(a32, 1 + n)
+    bbits = _unpack_device(b32, 1 + n)
+    head = abits & bbits
+    cross = (abits[:, gi] & bbits[:, gj]) ^ (abits[:, gj] & bbits[:, gi])
+    return _pack_device(jnp.concatenate([head, cross], axis=1), nw32)
+
+
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # CPU platform unavailable (never seen; be safe)
+        return None
+
+
+def mul_bits_batch(system, a_rows: np.ndarray, b_rows: np.ndarray):
+    """Batched ``mul_bits`` via XLA CPU: (B, Wn64) uint64 narrow operand
+    rows -> (B, W64) uint64 full-monomial-width rows, bit-exact with
+    ``QuadraticSystem.mul_bits`` (tested).  Rows are padded to a small set
+    of bucket sizes (bounded compile count) and oversize batches chunk."""
+    n = system._lin_size
+    nw32 = 2 * packing.nwords64(system._nbits)
+    a32 = packing.to_u32(np.ascontiguousarray(a_rows))
+    b32 = packing.to_u32(np.ascontiguousarray(b_rows))
+    B = a32.shape[0]
+    cpu = _cpu_device()
+    out32 = np.empty((B, nw32), np.uint32)
+    cap = _ROW_BUCKETS[-1]
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        for lo in range(0, B, cap):
+            chunk = a32[lo : lo + cap]
+            cb = chunk.shape[0]
+            bw = next(b for b in _ROW_BUCKETS if b >= cb)
+            pad = bw - cb
+            ap = np.pad(chunk, ((0, pad), (0, 0)))
+            bp = np.pad(b32[lo : lo + cap], ((0, pad), (0, 0)))
+            res = _mul_bits_kernel(jnp.asarray(ap), jnp.asarray(bp), n, nw32)
+            out32[lo : lo + cb] = np.asarray(res)[:cb]
+    return packing.from_u32(out32)

@@ -80,3 +80,64 @@ def test_solve_packed_accepts_host_matrices():
     sols = list(lin.solve_all_packed(eqs))
     assert sols == [lin.convert_sol(want)]
     assert lin.solve_one_packed(eqs) == lin.convert_sol(want)
+
+
+@pytest.mark.parametrize("n,rows", [(24, 9), (63, 40), (64, 33), (128, 1500)])
+def test_mul_bits_batch_matches_host(n, rows):
+    """XLA-CPU batched monomial expansion (materialize-time mulq route)
+    must be bit-exact with QuadraticSystem.mul_bits, across word-boundary
+    widths and a bucket-padded batch."""
+    rng = np.random.default_rng(n + rows)
+    qsys = QuadraticSystem([n])
+    a = _random_narrow(rng, rows, n)
+    b = _random_narrow(rng, rows, n)
+    want = qsys.mul_bits(a, b).rows
+    got = quad_device.mul_bits_batch(qsys, a.rows, b.rows)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
+def test_mul_bits_batch_chunking():
+    """Batches above the top row bucket chunk transparently."""
+    from gf2bv_tpu.ops.quad_device import _ROW_BUCKETS
+
+    n = 16
+    rows = _ROW_BUCKETS[-1] + 7
+    rng = np.random.default_rng(3)
+    qsys = QuadraticSystem([n])
+    a = _random_narrow(rng, rows, n)
+    b = _random_narrow(rng, rows, n)
+    want = qsys.mul_bits(a, b).rows
+    got = quad_device.mul_bits_batch(qsys, a.rows, b.rows)
+    assert np.array_equal(got, want)
+
+
+def test_lazy_mulq_routes_and_matches_host_expansion():
+    """End-to-end: a lazy per-bit mul_bit trace big enough to cross the
+    XLA routing threshold materializes bit-identically to the forced host
+    numpy path (GF2BV_TPU_MULBITS=host)."""
+    import os
+
+    from gf2bv_tpu.core import lazy as lazy_mod
+    from gf2bv_tpu.core.lazy import materialize_many
+
+    n = 48
+    qsys = QuadraticSystem([n])
+    (x,) = qsys.gens()  # lazy
+    zeros = [
+        qsys.mul_bit(x[i], x[(i + 5) % n]) ^ x[(i + 1) % n] ^ (i & 1)
+        for i in range(n)
+    ]
+    exprs = [z._expr for z in zeros]
+    old_thresh = lazy_mod._XLA_MULBITS_MIN_WORK
+    lazy_mod._XLA_MULBITS_MIN_WORK = 1  # force the XLA route
+    try:
+        got = materialize_many(exprs, strip_consts=True)
+    finally:
+        lazy_mod._XLA_MULBITS_MIN_WORK = old_thresh
+    os.environ["GF2BV_TPU_MULBITS"] = "host"
+    try:
+        want = materialize_many(exprs, strip_consts=True)
+    finally:
+        del os.environ["GF2BV_TPU_MULBITS"]
+    assert all(np.array_equal(g, w) for g, w in zip(got, want))
