@@ -3,12 +3,19 @@
 Why this exists: the single-system phase 1 is latency-floor-bound — each of
 the ~20k sequential pivot steps costs two cross-lane tree reductions
 (~1 us), and neither narrower lanes (pallas_sub) nor fused pivot pairs
-(pallas_scan2) move it (both measured).  But the reductions are over the
-LANE axis, so a batch axis vectorizes for free: the batched scan kernel
-advances B solves per sequential step, dividing the per-solve latency by B.
-Phase 2 (the int8-MXU rank-K update, ~85% of roofline) is compute-bound and
-simply loops over the batch at full efficiency; batched extraction already
-exists (ops/extract_device.finalize_batch).
+(pallas_scan2) move it (both measured).  The batched scan kernel advances B
+solves per sequential step, amortizing that reduction latency across the
+batch.
+
+MEASURED REALITY at flagship (MT19937) shape: the amortization washes out —
+the batched scan is VMEM-traffic-bound at B x 20k lanes, so B=4 ties the
+single fused solve per solve (0.107 s, BASELINE.md round 2) and LOSES to a
+device-chained lax.scan of the single-system solver (~0.072 s/solve).  The
+wins this module retains are (a) ONE dispatch + ONE stacked readback per
+batch in mode 1 (per-instance basis extraction is batched here), and (b)
+sub-flagship wide systems (fewer lanes per instance, the scan vectorizes
+without hitting the VMEM ceiling).  Mode-0 flagship batches should use
+:func:`solve_chained` below — parallel/batch.py routes there by default.
 
 This is the flagship-size batch axis (independent MT19937-scale recoveries
 per chip); small systems keep using the vmapped per-pivot kernel
@@ -366,3 +373,53 @@ def solve_batched(eq_mats, cols: int, mode: int, phase2: str | None = None):
         a, cols, K_PANEL, phase2, False, interpret
     )
     return extract_device.finalize_batch(rref32, pof, inconsistent, cols, mode)
+
+
+_chain_cache: dict = {}
+
+
+def solve_chained(eq_mats, cols: int, phase1: str | None = None,
+                  phase2: str | None = None):
+    """Mode-0 batch as a device-chained ``lax.scan`` of the SINGLE-system
+    fused solver (gauss_blocked.rref_origin_blocked per step).
+
+    At flagship shapes this beats the batch-vectorized kernel (see the
+    module docstring): each solve runs at full single-system speed
+    (~0.072 s device at MT19937 size vs ~0.107 s/solve batched), and the
+    I/O profile is identical — one dispatch, one stacked (B, W32) origin
+    readback.  Input/return contract matches ``solve_batched`` mode 0.
+    """
+    from .gauss_blocked import _pick_engines, rref_origin_blocked
+
+    if isinstance(eq_mats, (list, tuple)):
+        rows_max = max(m.shape[0] for m in eq_mats)
+        rows_pad, wp = padded_batch_dims(rows_max, eq_mats[0].shape[1])
+        a = np.zeros((len(eq_mats), rows_pad, wp), np.uint32)
+        for i, m in enumerate(eq_mats):
+            a32 = packing.to_u32(m)
+            a[i, : a32.shape[0], : a32.shape[1]] = a32
+        a = jnp.asarray(a)
+    else:
+        a = jnp.asarray(eq_mats, jnp.uint32)
+
+    auto1, auto2 = _pick_engines(a.shape[2])
+    phase1 = phase1 or auto1
+    phase2 = phase2 or auto2
+    key = (a.shape, cols, phase1, phase2)
+    fn = _chain_cache.get(key)
+    if fn is None:
+
+        def chained(a):
+            def body(carry, ai):
+                o, u = rref_origin_blocked(ai, cols, K_PANEL, phase2, phase1)
+                return carry, (o, u)
+
+            _, (origins, unsat) = lax.scan(body, 0, a)
+            return origins, unsat
+
+        fn = _chain_cache[key] = jax.jit(chained)
+    origins, unsat = jax.device_get(fn(a))
+    return [
+        None if bool(unsat[b]) else packing.from_u32(origins[b][None, :])[0]
+        for b in range(a.shape[0])
+    ]

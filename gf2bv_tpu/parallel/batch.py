@@ -81,7 +81,11 @@ def solve_batch(
             )
         # one stacked device program (ops/gauss_batched) unless the stacked
         # batch would be unreasonably large on device
-        from ..ops.gauss_batched import padded_batch_dims, solve_batched
+        from ..ops.gauss_batched import (
+            padded_batch_dims,
+            solve_batched,
+            solve_chained,
+        )
 
         # estimate from the PADDED dims solve_batched will actually allocate
         # (shared helper, so the guard can't drift from the allocation) —
@@ -91,6 +95,12 @@ def solve_batch(
         rows_pad, wp = padded_batch_dims(rows_max, eq_mats[0].shape[1])
         est_bytes = len(eq_mats) * rows_pad * wp * 4
         if est_bytes <= 2 << 30:
+            if mode == 0:
+                # measured at flagship shape: the device-chained scan of the
+                # fused single-system solver beats the batch-vectorized
+                # kernel per solve (~0.072 s vs ~0.107 s, BASELINE.md) with
+                # the identical one-dispatch/one-readback I/O profile
+                return solve_chained(eq_mats, cols)
             return solve_batched(eq_mats, cols, mode)
         return [solve_blocked(m, cols, mode) for m in eq_mats]
     a = pack_batch(eq_mats, cols)

@@ -59,3 +59,46 @@ def test_solve_batched_matches_solve_blocked(mode):
             assert np.array_equal(g[0], want[0])
             assert np.array_equal(g[1], want[1])
     assert saw_unsat  # the planted contradiction must be detected
+
+
+def test_solve_chained_matches_solve_blocked():
+    rng = np.random.default_rng(31)
+    mats = _systems(rng, 3, 280, 190, with_unsat=True)
+    got = gauss_batched.solve_chained(mats, 190)
+    assert len(got) == len(mats)
+    saw_unsat = False
+    for g, m in zip(got, mats):
+        want = solve_blocked(m, 190, 0)
+        if want is None:
+            assert g is None
+            saw_unsat = True
+        else:
+            assert np.array_equal(g, want)
+    assert saw_unsat
+
+
+def test_solve_batch_routes_wide_mode0_to_chained(monkeypatch):
+    """parallel.batch.solve_batch must send wide mode-0 batches through the
+    chained-scan path (measured faster per solve at flagship shape)."""
+    from gf2bv_tpu.ops import solver
+    from gf2bv_tpu.parallel import batch as pbatch
+
+    rng = np.random.default_rng(37)
+    cols = max(190, solver._BLOCKED_THRESHOLD)
+    mats = _systems(rng, 2, cols + 60, cols)
+    called = {}
+
+    real = gauss_batched.solve_chained
+
+    def spy(eq_mats, c, **kw):
+        called["n"] = len(eq_mats)
+        return real(eq_mats, c, **kw)
+
+    monkeypatch.setattr(gauss_batched, "solve_chained", spy)
+    got = pbatch.solve_batch(mats, cols, 0)
+    assert called.get("n") == len(mats)
+    for g, m in zip(got, mats):
+        want = solve_blocked(m, cols, 0)
+        assert (g is None) == (want is None)
+        if want is not None:
+            assert np.array_equal(g, want)
