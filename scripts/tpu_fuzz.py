@@ -374,6 +374,54 @@ def fuzz_multi_rhs(n=8, seed=0x3B5):
     print(f"TPU fuzz [multi-RHS cols={cols}]: {n} sweeps OK")
 
 
+def fuzz_multi_rhs_multitile(n=2, seed=0x4C1):
+    """The MULTI-TILE multi-RHS path (nb > 4096: several appended 128-word
+    tiles ride one elimination) on the real chip.  The full batch is
+    checked for consistency (coeff @ x == b over GF(2)) and unsat flags;
+    a random subset is checked for EXACT origin equality vs the numpy
+    oracle (the RREF origin is unique, so consistency alone would not
+    catch a wrong-but-consistent extraction)."""
+    from gf2bv_tpu.ops import multi_rhs
+    from gf2bv_tpu.ops.gauss_blocked import K_PANEL, _pad
+
+    rng = np.random.default_rng(seed)
+    cols, rows = 1500, 1600
+    for i in range(n):
+        nb = int(rng.integers(4100, 9000))
+        coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+        coeff[rows - 1] = coeff[0] ^ coeff[1]  # dependent row for unsat planting
+        secrets = rng.integers(0, 2, size=(nb, cols)).astype(np.uint8)
+        b_all = (secrets @ coeff.T) % 2  # (nb, rows)
+        bad = rng.integers(0, 16, size=nb) == 0
+        b_all[bad, rows - 1] ^= 1
+        eqs = packing.pack_bits(
+            np.concatenate([np.zeros((rows, 1), np.uint8), coeff], axis=1),
+            1 + cols,
+        )
+        a32 = _pad(eqs, K_PANEL, word_align=128)
+        got = multi_rhs.solve_multi_rhs(a32, cols, b_all.astype(np.uint8), 0)
+        assert len(got) == nb
+        sol_bits = np.zeros((nb, cols), np.uint8)
+        for k in range(nb):
+            assert (got[k] is None) == bool(bad[k]), f"[mrhs-mt {i}.{k}] unsat"
+            if got[k] is not None:
+                raw = np.frombuffer(
+                    got[k].to_bytes((cols + 7) // 8, "little"), np.uint8
+                )
+                sol_bits[k] = np.unpackbits(raw, bitorder="little")[:cols]
+        good = ~bad
+        lhs = (sol_bits[good] @ coeff.T) % 2
+        assert np.array_equal(lhs, b_all[good]), f"[mrhs-mt {i}] consistency"
+        # exact-origin spot checks vs the oracle, sampled across ALL tiles
+        goodk = np.flatnonzero(good)
+        for k in rng.choice(goodk, size=12, replace=False):
+            bits = np.concatenate([b_all[k][:, None], coeff], axis=1)
+            ref = solve_oracle(packing.pack_bits(bits, 1 + cols), cols)
+            assert got[k] == packing.words_to_int(ref.origin), f"[mrhs-mt {i}.{k}]"
+        print(f"[mrhs-mt {i}] nb={nb} OK", file=sys.stderr)
+    print(f"TPU fuzz [multi-RHS multi-tile cols={cols}]: {n} sweeps OK")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
@@ -385,3 +433,4 @@ if __name__ == "__main__":
     fuzz_quad(max(8, n // 3), seed=seed ^ 0x55)
     fuzz_capture(max(8, n // 3), seed=seed ^ 0x66)
     fuzz_multi_rhs(max(6, n // 4), seed=seed ^ 0x77)
+    fuzz_multi_rhs_multitile(2, seed=seed ^ 0x88)
