@@ -436,3 +436,55 @@ def test_blocked_solver_with_mxu4_interpret():
     assert [packing.words_to_int(b) for b in basis] == [
         packing.words_to_int(b) for b in ref.basis
     ]
+
+
+def test_mxu_scan_megakernel_trailing_branches_interpret():
+    """The fused look-ahead kernel's trailing branches (whole-tile skip,
+    const-only tile 0) never fire at the small shapes the solver-level
+    interpret tests reach (w0 >= 128 words needs >4096 cols) but fire on
+    every flagship solve; exercise them directly against the split update
+    and the standalone scan kernel."""
+    from gf2bv_tpu.ops.pallas_phase1 import _call_scan_kernel
+    from gf2bv_tpu.ops.pallas_update import panel_update_mxu_scan
+
+    rng = np.random.default_rng(46)
+    rows, wp, k = 256, 384, 64
+    kw = k // 32
+    cols = 32 * wp - 40  # real column budget so scan validity masks engage
+    a = rng.integers(0, 2**32, size=(rows, wp), dtype=np.uint32)
+    sel = rng.integers(0, 2**32, size=(rows, k // 32), dtype=np.uint32)
+    pf = rng.integers(0, 2**32, size=(k, wp), dtype=np.uint32)
+    full = ref_update(a, sel, pf)
+    used0 = np.zeros((1, rows), np.int32)
+    used0[0, rng.integers(0, rows, size=10)] = 1  # pre-used lanes respected
+
+    for w0, expect in (
+        (None, "full"),      # plain update, no trailing
+        (64, "full"),        # boundary inside tile 0: everything live
+        (260, "trail"),      # tile 0 const-only, tile 1 skipped, tile 2 live
+    ):
+        for w0n_words in (4, 260):  # next-panel slice: near and far
+            # reference scan input: the ALREADY-updated next-panel slice
+            bTn = full[:, w0n_words : w0n_words + kw].T.copy()
+            prow_ref, used_ref, cT_ref = _call_scan_kernel(
+                jnp.asarray(bTn), jnp.asarray(used0),
+                jnp.asarray([w0n_words], jnp.int32), k, cols, True
+            )
+            a_out, prow, cT, used = panel_update_mxu_scan(
+                jnp.asarray(a), jnp.asarray(sel), jnp.asarray(pf),
+                jnp.asarray(bTn), jnp.asarray(used0),
+                jnp.asarray(w0n_words, jnp.int32), cols=cols,
+                w0=None if w0 is None else jnp.asarray(w0, jnp.int32),
+                interpret=True,
+            )
+            got = np.asarray(a_out)
+            if expect == "full":
+                assert np.array_equal(got, full)
+            else:
+                assert np.array_equal(got[:, :1], full[:, :1])   # const word
+                assert np.array_equal(got[:, 1:128], a[:, 1:128])
+                assert np.array_equal(got[:, 128:256], a[:, 128:256])
+                assert np.array_equal(got[:, 256:], full[:, 256:])
+            assert np.array_equal(np.asarray(prow), np.asarray(prow_ref))
+            assert np.array_equal(np.asarray(cT), np.asarray(cT_ref))
+            assert np.array_equal(np.asarray(used), np.asarray(used_ref))
