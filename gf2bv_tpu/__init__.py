@@ -23,6 +23,7 @@ from .core.system import (
     QuadraticSystem,
     Zeros,
 )
+from .ops.incremental import IncrementalSolver
 
 __version__ = "0.3.0"
 
@@ -45,6 +46,7 @@ __all__ = [
     "BitVec",
     "CapturedTrace",
     "DimensionTooLargeError",
+    "IncrementalSolver",
     "LinearSystem",
     "QuadraticSystem",
     "Zeros",
