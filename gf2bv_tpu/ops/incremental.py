@@ -155,13 +155,27 @@ class IncrementalSolver:
 
     def __init__(self, system, zeros=(), *, slack: int = 2048,
                  k_panel: int | None = None):
+        eqs = system.get_eqs_packed(list(zeros))
+        self._init_packed(system, eqs, system._cols, slack, k_panel)
+
+    @classmethod
+    def from_packed(cls, eqs, cols: int, *, slack: int = 2048,
+                    k_panel: int | None = None) -> "IncrementalSolver":
+        """Build from an already-packed ``(rows, W64)`` uint64 matrix (no
+        system object).  ``add_packed`` takes packed rows too; only the raw
+        query surface (`solve_raw_*`) is available."""
+        self = cls.__new__(cls)
+        self._init_packed(None, np.asarray(eqs, np.uint64), cols,
+                          slack, k_panel)
+        return self
+
+    def _init_packed(self, system, eqs, cols, slack, k_panel):
         from . import extract_device
         from .gauss_blocked import K_PANEL, _pad, _pick_engines, rref_blocked
 
         self.system = system
-        self._cols = system._cols
+        self._cols = cols
         k_panel = k_panel or K_PANEL
-        eqs = system.get_eqs_packed(list(zeros))
         if eqs.shape[0]:
             a32 = _pad(eqs, k_panel, word_align=128)
         else:
@@ -189,8 +203,11 @@ class IncrementalSolver:
 
     def add(self, zeros) -> "IncrementalSolver":
         """Fold new equations into the maintained RREF.  Returns self."""
-        eqs = self.system.get_eqs_packed(list(zeros))
-        new32 = packing.to_u32(eqs)
+        return self.add_packed(self.system.get_eqs_packed(list(zeros)))
+
+    def add_packed(self, eqs) -> "IncrementalSolver":
+        """`add` for an already-packed ``(rows, W64)`` uint64 matrix."""
+        new32 = packing.to_u32(np.asarray(eqs, np.uint64))
         top = _B_BUCKETS[-1]
         for lo in range(0, new32.shape[0], top):
             self._add_chunk(new32[lo : lo + top])
@@ -247,5 +264,10 @@ class IncrementalSolver:
         return AffineSpace(origin, basis, self._cols)
 
     def solve_one(self):
+        if self.system is None:
+            raise TypeError(
+                "solve_one needs a system for convert_sol; "
+                "from_packed solvers expose solve_raw_one/solve_raw_space"
+            )
         raw = self.solve_raw_one()
         return None if raw is None else self.system.convert_sol(raw)

@@ -150,3 +150,21 @@ def test_incremental_capacity_growth():
         inc.add(zeros[k : k + 8])
     assert inc._M.shape[0] >= cap0  # grew (or sliced in) without breakage
     assert inc.solve_one() == (secret,)
+
+
+def test_incremental_from_packed_matches_system_path():
+    rng = np.random.default_rng(31)
+    w = 96
+    lin = LinearSystem([w])
+    secret, zeros = _rand_zeros(lin, rng, w + 6)
+
+    eqs_a = lin.get_eqs_packed(zeros[:40])
+    eqs_b = lin.get_eqs_packed(zeros[40:])
+    inc = IncrementalSolver.from_packed(eqs_a, w)
+    inc.add_packed(eqs_b)
+
+    ref = IncrementalSolver(lin, zeros[:40]).add(zeros[40:])
+    assert inc.rank == ref.rank and not inc.unsat
+    assert inc.solve_raw_one() == ref.solve_raw_one()
+    with pytest.raises(TypeError):
+        inc.solve_one()
