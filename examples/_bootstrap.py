@@ -22,3 +22,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_ROOT / ".jax_cache"))
 from gf2bv_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache(_ROOT / ".jax_cache")
+
+# GF2BV_FORCE_CPU=1 pins every example to the host CPU backend (the
+# JAX_PLATFORMS env var is frozen by the same site hook, so this too must
+# go through jax.config).  Useful when no accelerator is reachable and for
+# virtual-mesh runs (XLA_FLAGS=--xla_force_host_platform_device_count=N).
+if os.environ.get("GF2BV_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

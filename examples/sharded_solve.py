@@ -8,14 +8,7 @@ code path, collectives compiled away) or a virtual CPU mesh:
         GF2BV_FORCE_CPU=1 python examples/sharded_solve.py
 """
 
-import _bootstrap  # noqa: F401  (repo-root imports + persistent compile cache)
-
-import os
-
-if os.environ.get("GF2BV_FORCE_CPU"):
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+import _bootstrap  # noqa: F401  (repo imports, compile cache, GF2BV_FORCE_CPU)
 
 import numpy as np
 

@@ -41,7 +41,10 @@ from ..core import packing
 from ..core.affine import AffineSpace
 
 _B_BUCKETS = (128, 512, 2048)
-_BIG = jnp.int32(1 << 30)
+# Sentinel "no live bit" column index.  A plain int (not a jnp scalar):
+# creating a device array at module scope would initialize the JAX backend
+# as a side effect of `import gf2bv_tpu`.
+_BIG = 1 << 30
 
 
 def _bucket_rows(n: int) -> int:
