@@ -359,6 +359,14 @@ def main():
                     # stable hardware number — e2e on this box rides a
                     # 5-500 MB/s dev tunnel and swings ~40% run-to-run
                     "multi_rhs_recoveries_per_s_b256": round(dev_rate, 1),
+                    # methodology changed in round 4: the key above now
+                    # records the device rate; rounds <= 3 recorded e2e
+                    # including tunnel I/O (kept below for comparison) —
+                    # declared here so cross-round diffs aren't read as a
+                    # solver speedup
+                    "multi_rhs_recoveries_per_s_b256_semantics": (
+                        "device rate since r4; r<=3 was e2e incl. tunnel I/O"
+                    ),
                     "multi_rhs_e2e_tunnel_bound_per_s_b256": round(
                         batch_rate, 1
                     ),

@@ -375,6 +375,11 @@ def solve_batched(eq_mats, cols: int, mode: int, phase2: str | None = None):
     return extract_device.finalize_batch(rref32, pof, inconsistent, cols, mode)
 
 
+# LRU-bounded: each entry retains a compiled scan executable sized by the
+# full (B, rows_pad, wp) batch shape, so a caller sweeping batch sizes must
+# not accumulate one program per shape for the process lifetime (the lazy
+# trace cache is bounded the same way, ops/lazy_solve.py).
+_CHAIN_CACHE_MAX = 8
 _chain_cache: dict = {}
 
 
@@ -406,7 +411,7 @@ def solve_chained(eq_mats, cols: int, phase1: str | None = None,
     phase1 = phase1 or auto1
     phase2 = phase2 or auto2
     key = (a.shape, cols, phase1, phase2)
-    fn = _chain_cache.get(key)
+    fn = _chain_cache.pop(key, None)
     if fn is None:
 
         def chained(a):
@@ -417,7 +422,10 @@ def solve_chained(eq_mats, cols: int, phase1: str | None = None,
             _, (origins, unsat) = lax.scan(body, 0, a)
             return origins, unsat
 
-        fn = _chain_cache[key] = jax.jit(chained)
+        fn = jax.jit(chained)
+    _chain_cache[key] = fn  # (re)insert at the tail = most recently used
+    while len(_chain_cache) > _CHAIN_CACHE_MAX:
+        _chain_cache.pop(next(iter(_chain_cache)))
     origins, unsat = jax.device_get(fn(a))
     return [
         None if bool(unsat[b]) else packing.from_u32(origins[b][None, :])[0]

@@ -98,7 +98,12 @@ def _add_step(M, pof, pcol, nrows, new, cols: int):
     B = new.shape[0]
 
     # -- 1) reduce against existing pivots (one rank-R pass) ---------------
-    red = _xor_select_update(new, _bits_at(new, pcol + 1), M)
+    # keep pcol's -1 sentinel NEGATIVE through the +1 shift: pcol+1 == 0
+    # would select the affine bit, and a 0=1 row in M (already-unsat
+    # system) would then be XORed into new rows, corrupting rank counts
+    red = _xor_select_update(
+        new, _bits_at(new, jnp.where(pcol >= 0, pcol + 1, -1)), M
+    )
 
     # -- 2) mutual elimination of the new block ----------------------------
     word_ids = jnp.arange(wp, dtype=jnp.int32)

@@ -23,7 +23,6 @@ with the reference's monomial order (i outer, j inner, i > j).
 
 from __future__ import annotations
 
-import contextlib
 import functools
 
 import numpy as np
@@ -166,9 +165,17 @@ def _mul_bits_kernel(a32, b32, n: int, nw32: int):
 
 
 def _cpu_device():
+    # When the platform list is pinned elsewhere (e.g. JAX_PLATFORMS=axon on
+    # the TPU-tunnel machine) there is NO cpu backend — and merely asking
+    # jax.local_devices(backend="cpu") would initialize the pinned backend
+    # first (claiming the accelerator / blocking on a dead tunnel) before
+    # raising.  Answer from config alone in that case.
+    platforms = jax.config.jax_platforms
+    if platforms and "cpu" not in str(platforms).split(","):
+        return None
     try:
         return jax.local_devices(backend="cpu")[0]
-    except RuntimeError:  # CPU platform unavailable (never seen; be safe)
+    except RuntimeError:  # CPU platform unavailable
         return None
 
 
@@ -178,15 +185,24 @@ def mul_bits_batch(system, a_rows: np.ndarray, b_rows: np.ndarray):
     ``QuadraticSystem.mul_bits`` (tested).  Rows are padded to a small set
     of bucket sizes (bounded compile count) and oversize batches chunk."""
     n = system._lin_size
+    cpu = _cpu_device()
+    if cpu is None:
+        # No XLA CPU backend (platform pinned to the accelerator).  Running
+        # the kernel there would invert this path's whole point — the
+        # product rows feed HOST-side coefficient assembly, and shipping
+        # ~17 MB back through the device tunnel costs more than computing
+        # it locally.  Use the vectorized numpy expansion instead.
+        return system.mul_bits(
+            BitVec(np.ascontiguousarray(a_rows), 1 + n),
+            BitVec(np.ascontiguousarray(b_rows), 1 + n),
+        ).rows
     nw32 = 2 * packing.nwords64(system._nbits)
     a32 = packing.to_u32(np.ascontiguousarray(a_rows))
     b32 = packing.to_u32(np.ascontiguousarray(b_rows))
     B = a32.shape[0]
-    cpu = _cpu_device()
     out32 = np.empty((B, nw32), np.uint32)
     cap = _ROW_BUCKETS[-1]
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
+    with jax.default_device(cpu):
         for lo in range(0, B, cap):
             chunk = a32[lo : lo + cap]
             cb = chunk.shape[0]

@@ -168,3 +168,35 @@ def test_incremental_from_packed_matches_system_path():
     assert inc.solve_raw_one() == ref.solve_raw_one()
     with pytest.raises(TypeError):
         inc.solve_one()
+
+def test_incremental_add_after_unsat_init_keeps_rref_exact():
+    """A 0=1 row in the INITIAL matrix (solver born unsat) must not corrupt
+    the maintained RREF on later adds: pcol's -1 slots may never select the
+    affine column during the reduce pass (regression: pcol+1 == 0 read
+    bit 0 and XORed the contradiction row into new equations)."""
+    rng = np.random.default_rng(77)
+    w = 64
+    lin = LinearSystem([w])
+    _, zeros = _rand_zeros(lin, rng, 30)
+
+    eqs = lin.get_eqs_packed(zeros[:12])
+    contradiction = np.zeros((1, eqs.shape[1]), np.uint64)
+    contradiction[0, 0] = 1  # the literal 0=1 row
+    init = np.concatenate([eqs, contradiction], axis=0)
+
+    inc = IncrementalSolver.from_packed(init, w)
+    assert inc.unsat
+    inc.add_packed(lin.get_eqs_packed(zeros[12:]))
+    assert inc.unsat and inc.solve_raw_one() is None
+
+    # the maintained matrix must still be the unique RREF of everything
+    ref = IncrementalSolver.from_packed(
+        np.concatenate([init, lin.get_eqs_packed(zeros[12:])], axis=0), w
+    )
+    got_rows, got_pof = _dense_state(inc)
+    want_rows, want_pof = _dense_state(ref)
+    assert np.array_equal(got_rows, want_rows)
+    # pof row INDICES legitimately differ (incremental pivots land in the
+    # slack region); the pivot-column SET must agree
+    assert np.array_equal(got_pof >= 0, want_pof >= 0)
+    assert inc.rank == ref.rank

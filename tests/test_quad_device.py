@@ -141,3 +141,41 @@ def test_lazy_mulq_routes_and_matches_host_expansion():
     finally:
         del os.environ["GF2BV_TPU_MULBITS"]
     assert all(np.array_equal(g, w) for g, w in zip(got, want))
+
+def test_mul_bits_batch_no_cpu_backend_falls_back_to_host(monkeypatch):
+    """When the JAX platform list is pinned to an accelerator (no cpu
+    backend), mul_bits_batch must answer from the host numpy expansion —
+    never dispatch the kernel to the default device (the product rows feed
+    host-side assembly; see the accelerator-tunnel cost note in the
+    module)."""
+    monkeypatch.setattr(quad_device, "_cpu_device", lambda: None)
+
+    def boom(*a, **k):
+        raise AssertionError("kernel dispatched without a cpu backend")
+
+    monkeypatch.setattr(quad_device, "_mul_bits_kernel", boom)
+    n, rows = 48, 64
+    rng = np.random.default_rng(5)
+    qsys = QuadraticSystem([n])
+    a = _random_narrow(rng, rows, n)
+    b = _random_narrow(rng, rows, n)
+    want = qsys.mul_bits(a, b).rows
+    got = quad_device.mul_bits_batch(qsys, a.rows, b.rows)
+    assert np.array_equal(got, want)
+
+
+def test_cpu_device_respects_pinned_platforms(monkeypatch):
+    """_cpu_device must answer None from config alone when the platform
+    list excludes cpu — without touching (initializing) any backend."""
+    import jax
+
+    def boom(*a, **k):
+        raise AssertionError("backend initialization attempted")
+
+    monkeypatch.setattr(quad_device.jax, "local_devices", boom)
+    prev = jax.config.jax_platforms
+    jax.config.update("jax_platforms", "faketpu")
+    try:
+        assert quad_device._cpu_device() is None
+    finally:
+        jax.config.update("jax_platforms", prev)
