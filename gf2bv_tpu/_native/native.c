@@ -1,19 +1,27 @@
 /* Native host GF(2) elimination engine.
  *
  * The CPU-side counterpart of the TPU solvers: bit-packed (uint64 words)
- * Gauss-Jordan to reduced row echelon form using 8-column panels with a
- * 256-entry XOR table per panel ("Method of Four Russians" style, the same
- * algorithmic family as the reference's libm4ri backend) and OpenMP row
- * parallelism for the bulk update.
+ * Gauss-Jordan to reduced row echelon form using NSUB*8-column macro-panels
+ * with NSUB 256-entry XOR tables applied in ONE fused pass per macro-panel
+ * ("Method of Four Russians" style, the same algorithmic family as the
+ * reference's libm4ri backend) and OpenMP row parallelism for the bulk
+ * update.
  *
  * This is a from-scratch implementation of the same two-phase panel scheme
  * as gf2bv_tpu/ops/gauss_blocked.py:
- *   phase 1 (thin): forward-eliminate on the 8-bit column strip, tracking
- *     per-row coefficient bytes; reconstruct the <=8 final pivot rows at
- *     full width (forward combos, then back-elimination).
- *   phase 2 (bulk): selector byte per row from the *original* strip
- *     (diagonal-flipped for pivot rows), one table lookup + W-word XOR
- *     per row per panel.
+ *   phase 1 (thin): forward-eliminate on the NSUB*8-bit column strip,
+ *     tracking per-row coefficient words; reconstruct the <=NSUB*8 final
+ *     pivot rows at full width (forward combos, then back-elimination).
+ *   phase 2 (bulk): selector word per row from the *original* strip
+ *     (diagonal-flipped for pivot rows), NSUB table lookups fused into one
+ *     W-word XOR pass per row per macro-panel.
+ *
+ * Why macro-panels: the bulk update is memory-bandwidth-bound (every row
+ * streams through cache once per panel), so applying NSUB sub-panel tables
+ * per pass divides the number of full-matrix sweeps by NSUB while the
+ * tables themselves (NSUB * 256 * W words) stay cache-resident.  Measured
+ * at the MT19937 flagship shape (20224 x 19969) on one Xeon core: see
+ * scripts/bench_native.py; NSUB is a compile-time knob (-DNSUB=n).
  *
  * Matrix layout matches the Python side: row-major uint64 words, packed
  * bit j (0 = affine constant / RHS, 1..cols = variables) at word j>>6,
@@ -32,14 +40,20 @@
 #endif
 
 #define PANEL 8
+#ifndef NSUB
+#define NSUB 4 /* 32-column macro-panels: best measured single-core value */
+#endif
+#define KCOLS (NSUB * PANEL)
 
-static inline uint8_t strip8(const uint64_t *row, int64_t c0) {
-    /* bits c0..c0+7 of a packed row (pad word guarantees in-bounds). */
+static inline uint64_t stripk(const uint64_t *row, int64_t c0, int k) {
+    /* bits c0..c0+k-1 (k <= 64) of a packed row; the pad word guarantees
+     * the row[wi+1] read stays in bounds. */
     int64_t wi = c0 >> 6;
     int sh = (int)(c0 & 63);
     uint64_t v = row[wi] >> sh;
-    if (sh > 56) v |= row[wi + 1] << (64 - sh);
-    return (uint8_t)(v & 0xff);
+    if (sh) v |= row[wi + 1] << (64 - sh);
+    if (k < 64) v &= (((uint64_t)1 << k) - 1);
+    return v;
 }
 
 /* Full RREF in place.  Returns the rank.
@@ -47,10 +61,10 @@ static inline uint8_t strip8(const uint64_t *row, int64_t c0) {
  *   pof    : cols int32, set to pivot row index per variable column or -1
  *   used   : rows uint8 scratch, zero-initialized by this function
  *   trailing: nonzero = mode-0 fast path: the bulk update touches only
- *     word 0 (the affine/RHS column) and words >= the panel start — columns
- *     left of the panel are earlier pivot columns (identity) or free
- *     columns, which a free-vars-0 particular solution never reads.  The
- *     result is then NOT a full RREF in the free columns and
+ *     word 0 (the affine/RHS column) and words >= the macro-panel start —
+ *     columns left of the panel are earlier pivot columns (identity) or
+ *     free columns, which a free-vars-0 particular solution never reads.
+ *     The result is then NOT a full RREF in the free columns and
  *     gf2_inconsistent is unreliable; the caller must verify the extracted
  *     solution against the original system (the same contract as the TPU
  *     trailing mode, ops/gauss_blocked.py).
@@ -61,26 +75,26 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
     memset(used, 0, (size_t)rows);
     for (int64_t c = 0; c < cols; c++) pof[c] = -1;
 
-    uint8_t *strip = (uint8_t *)malloc((size_t)rows);
-    uint8_t *coef = (uint8_t *)malloc((size_t)rows);
-    uint8_t *sel = (uint8_t *)malloc((size_t)rows);
-    uint64_t *pf = (uint64_t *)malloc(PANEL * (size_t)w_alloc * 8);
-    uint64_t *tbl = (uint64_t *)malloc(256 * (size_t)w_alloc * 8);
+    uint64_t *strip = (uint64_t *)malloc((size_t)rows * 8);
+    uint64_t *coef = (uint64_t *)malloc((size_t)rows * 8);
+    uint64_t *sel = (uint64_t *)malloc((size_t)rows * 8);
+    uint64_t *pf = (uint64_t *)malloc(KCOLS * (size_t)w_alloc * 8);
+    uint64_t *tbl = (uint64_t *)malloc(NSUB * 256 * (size_t)w_alloc * 8);
 
-    for (int64_t c0 = 1; c0 <= cols; c0 += PANEL) {
-        int np = (int)((cols + 1 - c0) < PANEL ? (cols + 1 - c0) : PANEL);
+    for (int64_t c0 = 1; c0 <= cols; c0 += KCOLS) {
+        int np = (int)((cols + 1 - c0) < KCOLS ? (cols + 1 - c0) : KCOLS);
 
-        /* strip + coefficient bytes */
+        /* strip + coefficient words */
 #pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < rows; i++) {
-            strip[i] = strip8(&a[i * w_alloc], c0);
+            strip[i] = stripk(&a[i * w_alloc], c0, np);
             coef[i] = 0;
         }
-        memset(pf, 0, PANEL * (size_t)w_alloc * 8);
+        memset(pf, 0, KCOLS * (size_t)w_alloc * 8);
 
-        int32_t prow[PANEL];
-        uint8_t borig_piv[PANEL];
-        uint8_t pivmask = 0;
+        int32_t prow[KCOLS];
+        uint64_t borig_piv[KCOLS];
+        uint64_t pivmask = 0;
         /* phase 1: forward elimination on the strip */
         for (int jj = 0; jj < np; jj++) {
             prow[jj] = -1;
@@ -90,28 +104,28 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
             }
             if (piv < 0) continue;
             prow[jj] = (int32_t)piv;
-            pivmask |= (uint8_t)(1u << jj);
+            pivmask |= (uint64_t)1 << jj;
             pof[c0 - 1 + jj] = (int32_t)piv;
             used[piv] = 1;
             rank++;
             /* final-so-far pivot row = original row ^ combo(PF_fwd, coef) */
             uint64_t *dst = &pf[(size_t)jj * w_alloc];
             memcpy(dst, &a[(size_t)piv * w_alloc], (size_t)w_alloc * 8);
-            uint8_t cb = coef[piv];
+            uint64_t cb = coef[piv];
             for (int j2 = 0; j2 < jj; j2++) {
                 if ((cb >> j2) & 1) {
                     const uint64_t *src = &pf[(size_t)j2 * w_alloc];
                     for (int64_t w = 0; w < w_alloc; w++) dst[w] ^= src[w];
                 }
             }
-            borig_piv[jj] = strip8(&a[(size_t)piv * w_alloc], c0); /* orig strip */
+            borig_piv[jj] = stripk(&a[(size_t)piv * w_alloc], c0, np);
             /* eliminate remaining candidates within the strip */
-            uint8_t bpiv = strip[piv];
+            uint64_t bpiv = strip[piv];
 #pragma omp parallel for schedule(static)
             for (int64_t i = 0; i < rows; i++) {
                 if (!used[i] && ((strip[i] >> jj) & 1)) {
                     strip[i] ^= bpiv;
-                    coef[i] ^= (uint8_t)(1u << jj);
+                    coef[i] ^= (uint64_t)1 << jj;
                 }
             }
         }
@@ -131,41 +145,59 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
 
         if (!pivmask) continue;
 
-        /* selector bytes from the ORIGINAL strip, diagonal-flipped */
+        /* selector words from the ORIGINAL strip, diagonal-flipped */
 #pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < rows; i++) {
-            sel[i] = (uint8_t)(strip8(&a[(size_t)i * w_alloc], c0) & pivmask);
+            sel[i] = stripk(&a[(size_t)i * w_alloc], c0, np) & pivmask;
         }
         for (int jj = 0; jj < np; jj++) {
             if (prow[jj] >= 0) {
-                sel[prow[jj]] = (uint8_t)((borig_piv[jj] & pivmask) ^ (1u << jj));
+                sel[prow[jj]] =
+                    (borig_piv[jj] & pivmask) ^ ((uint64_t)1 << jj);
             }
         }
 
         /* live word range: [wlo, w_alloc) plus word 0 when trailing */
         int64_t wlo = trailing ? (c0 >> 6) : 0;
+        int64_t w1 = wlo ? wlo : 1;
 
-        /* 256-entry XOR table of PF-row combinations (live words only) */
-        memset(tbl, 0, (size_t)w_alloc * 8);
-        for (int m = 1; m < 256; m++) {
-            int bit = __builtin_ctz(m);
-            const uint64_t *base = &tbl[(size_t)(m & (m - 1)) * w_alloc];
-            const uint64_t *add = &pf[(size_t)bit * w_alloc];
-            uint64_t *dst = &tbl[(size_t)m * w_alloc];
-            dst[0] = base[0] ^ add[0];
-            for (int64_t w = wlo ? wlo : 1; w < w_alloc; w++)
-                dst[w] = base[w] ^ add[w];
+        /* one 256-entry XOR table of PF-row combinations per sub-panel
+         * (live words only); sub-panels with no pivots stay untouched —
+         * their selector bytes are 0 under pivmask */
+        for (int t = 0; t < NSUB; t++) {
+            if (!((pivmask >> (PANEL * t)) & 0xff)) continue;
+            uint64_t *tb = &tbl[(size_t)t * 256 * w_alloc];
+            memset(tb, 0, (size_t)w_alloc * 8);
+            for (int m = 1; m < 256; m++) {
+                int bit = __builtin_ctz(m);
+                const uint64_t *base = &tb[(size_t)(m & (m - 1)) * w_alloc];
+                const uint64_t *add = &pf[(size_t)(PANEL * t + bit) * w_alloc];
+                uint64_t *dst = &tb[(size_t)m * w_alloc];
+                dst[0] = base[0] ^ add[0];
+                for (int64_t w = w1; w < w_alloc; w++)
+                    dst[w] = base[w] ^ add[w];
+            }
         }
 
-        /* phase 2: one table-XOR per row (live words only) */
+        /* phase 2: NSUB table lookups fused into ONE pass per row */
 #pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < rows; i++) {
-            uint8_t s = sel[i];
+            uint64_t s = sel[i];
             if (!s) continue;
-            const uint64_t *src = &tbl[(size_t)s * w_alloc];
+            const uint64_t *srcs[NSUB];
+            int ns = 0;
+            for (int t = 0; t < NSUB; t++) {
+                uint8_t b = (uint8_t)(s >> (PANEL * t));
+                if (b)
+                    srcs[ns++] = &tbl[((size_t)t * 256 + b) * w_alloc];
+            }
             uint64_t *dst = &a[(size_t)i * w_alloc];
-            dst[0] ^= src[0];
-            for (int64_t w = wlo ? wlo : 1; w < w_alloc; w++) dst[w] ^= src[w];
+            for (int q = 0; q < ns; q++) dst[0] ^= srcs[q][0];
+            for (int64_t w = w1; w < w_alloc; w++) {
+                uint64_t acc = dst[w];
+                for (int q = 0; q < ns; q++) acc ^= srcs[q][w];
+                dst[w] = acc;
+            }
         }
     }
 
