@@ -53,3 +53,32 @@ def test_native_enumerate_matches_host():
     want = list(sp)
     got = enumerate_native(origin, basis, 0, 1 << 11, gray=True)
     assert packing.rows_to_ints(got) == want
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_macro_panel_fuzz(seed):
+    """Macro-panel edge cases vs the oracle: shapes spanning many NSUB*8
+    panels with ragged tails, heavy rank deficits, and whole zeroed column
+    bands (sub-panels with no pivots skip their table build)."""
+    rng = np.random.default_rng(1000 + seed)
+    for _ in range(4):
+        cols = int(rng.integers(300, 1300))
+        rows = cols + int(rng.integers(-40, 60))
+        deficit = int(rng.integers(0, 50))
+        eqs, _ = random_system(rng, max(rows, 8), cols, rank_deficit=deficit)
+        # zero out a random contiguous column band (pivotless sub-panels)
+        lo = int(rng.integers(1, cols - 64))
+        hi = lo + int(rng.integers(16, 64))
+        mask = np.zeros(1 + cols, np.uint8)
+        mask[lo:hi] = 1
+        eqs &= ~packing.pack_bits(mask[None, :], 1 + cols)[0]
+
+        ref = solve_oracle(eqs, cols)
+        one = solver.solve(eqs, cols, 0, backend="native")
+        if ref.origin is None:
+            assert one is None
+            continue
+        assert one == packing.words_to_int(ref.origin)
+        space = solver.solve(eqs, cols, 1, backend="native")
+        assert space.dimension == ref.dimension
+        assert packing.int_to_words(space.origin, cols).tolist() == \
+            ref.origin.tolist()
