@@ -247,6 +247,160 @@ class LinearSystem:
             for sp in spaces
         ]
 
+    # -- guess sweeps: every candidate rides ONE elimination ------------------
+
+    def _solve_sweep_raw(self, zeros, guesses, candidates, mode: int):
+        """Shared core of the sweep API (see :meth:`solve_one_sweep`).
+
+        Pinning the SAME bit expressions to different values changes only
+        the affine column — the coefficient matrix is shared — so every
+        candidate assignment is one extra RHS column of a single multi-RHS
+        elimination (ops/multi_rhs.py).  The reference idiom re-factors the
+        whole system per guess (one PLUQ per ``m4ri_solve`` call,
+        /root/reference/gf2bv/_internal.c:359-502; guess loops as in
+        /root/reference/examples/nlfsr.py:60-74)."""
+        from .lazy import LazyBitVec, materialize_many, pad_mats_to_words
+        from ..ops import multi_rhs
+        from ..ops.gauss_blocked import K_PANEL, _pad
+
+        zeros = list(zeros)
+        guesses = list(guesses)
+        if not guesses:
+            raise ValueError("at least one guess expression required")
+        for g in guesses:
+            if not isinstance(g, BitVec):
+                raise TypeError(
+                    "guesses must be BitVec expressions over the system's "
+                    "variables (got %r)" % type(g).__name__
+                )
+        # one shared-memo materialization walk for zeros + guesses
+        lazies = [
+            bv for bv in (*zeros, *guesses)
+            if isinstance(bv, LazyBitVec) and bv._rows is None
+        ]
+        if lazies:
+            for bv, mat in zip(
+                lazies, materialize_many([bv._expr for bv in lazies])
+            ):
+                bv._rows = mat
+
+        base = self.get_eqs_packed(zeros)
+        # Reference-idiom bit expressions ((x >> i) & 1, mul_bit products)
+        # are FULL-width BitVecs whose high bits are identically zero; trim
+        # each guess to its last nonzero row.  Trimmed (constant-0) bits
+        # only admit the value 0 — an explicit candidate pinning one to 1
+        # is decided unsatisfiable host-side.  Interior zero rows within
+        # the kept prefix stay in the matrix (NOT zero-filtered like zeros
+        # rows): pinning a constant bit to 1 must come back unsatisfiable.
+        gmats, widths, kept = [], [], []
+        for g in guesses:
+            rows_g = pad_mats_to_words([g.rows], self._nw)[0]
+            nz = np.nonzero(rows_g.any(axis=1))[0]
+            kw = int(nz[-1]) + 1 if nz.size else 0
+            gmats.append(rows_g[:kw])
+            widths.append(len(g))
+            kept.append(kw)
+        G = sum(kept)
+        gmat = np.concatenate(
+            gmats + [np.zeros((0, self._nw), np.uint64)], axis=0
+        )
+        eqs = np.concatenate([base, gmat], axis=0)
+        rows = eqs.shape[0]
+
+        if candidates is None:
+            # eliminations chunk at MAX_RHS, so any B works; the cap only
+            # guards against accidentally enumerating a wide expression
+            if G > 17:
+                raise ValueError(
+                    f"full enumeration of {G} live guess bits is 2**{G} "
+                    f"candidates; pass an explicit candidates list"
+                )
+            B = 1 << G
+            ks = np.arange(B, dtype=np.uint64)
+            bits = (
+                (ks[:, None] >> np.arange(G, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.uint8)
+            forced_unsat = np.zeros(B, bool)
+        else:
+            cand = [
+                tuple(c) if isinstance(c, (tuple, list)) else (c,)
+                for c in candidates
+            ]
+            if not cand:
+                return []
+            B = len(cand)
+            bits = np.zeros((B, G), np.uint8)
+            forced_unsat = np.zeros(B, bool)
+            for bi, tup in enumerate(cand):
+                if len(tup) != len(guesses):
+                    raise ValueError(
+                        f"candidate {bi} has {len(tup)} values for "
+                        f"{len(guesses)} guesses"
+                    )
+                off = 0
+                for v, wd, kw in zip(tup, widths, kept):
+                    v = int(v)
+                    if v >> wd:
+                        raise ValueError(
+                            f"candidate {bi}: value {v} exceeds the "
+                            f"{wd}-bit guess width"
+                        )
+                    if v >> kw:  # pins an identically-0 bit to 1
+                        forced_unsat[bi] = True
+                    for j in range(kw):
+                        bits[bi, off + j] = (v >> j) & 1
+                    off += kw
+
+        # per-candidate affine column: the traced affine bits, with the
+        # guess rows' constants flipped by the candidate's values
+        base_aff = (eqs[:, 0] & np.uint64(1)).astype(np.uint8)
+        rhs = np.broadcast_to(base_aff, (B, rows)).copy()
+        if G:
+            rhs[:, rows - G:] ^= bits
+
+        a32 = _pad(eqs, K_PANEL, word_align=128)
+        out: list = []
+        bcache: dict = {}  # mode-1 basis is candidate- and chunk-invariant
+        for c0 in range(0, B, multi_rhs.MAX_RHS):
+            out.extend(
+                multi_rhs.solve_multi_rhs(
+                    a32, self._cols, rhs[c0 : c0 + multi_rhs.MAX_RHS],
+                    mode, basis_cache=bcache,
+                )
+            )
+        return [None if bad else r for bad, r in zip(forced_unsat, out)]
+
+    def solve_one_sweep(self, zeros, guesses, candidates=None):
+        """Guess-and-solve sweep: pin the bit expressions in ``guesses`` to
+        every candidate assignment and solve ALL of them with ONE
+        elimination.
+
+        ``guesses``: BitVec expressions (any widths; bits above each
+        expression's last LIVE bit are identically zero and only admit the
+        value 0).  ``candidates``: iterable of value tuples (one int per
+        guess, validated against the full expression width), or None to
+        enumerate all ``2**G`` assignments of the G live bits — candidate
+        ``k`` then assigns guess ``i`` its live bits from
+        ``k >> sum(live_widths[:i])`` (first guess in the low bits).
+
+        Returns a list aligned with the candidates: a solution tuple, or
+        None where that assignment is unsatisfiable.  The classic attack
+        loop "for each guess: re-solve" (reference idiom) costs one full
+        factorization per guess; here the shared coefficient matrix makes
+        each guess one appended RHS column."""
+        raws = self._solve_sweep_raw(zeros, guesses, candidates, 0)
+        return [None if r is None else self.convert_sol(r) for r in raws]
+
+    def solve_all_sweep(self, zeros, guesses, candidates=None, *,
+                        max_dimension: int = 16):
+        """Sweep returning one solution generator per candidate (or None
+        where unsatisfiable); all candidates share one kernel basis."""
+        spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1)
+        return [
+            None if sp is None else self._enumerate_space(sp, max_dimension)
+            for sp in spaces
+        ]
+
     # -- interop (replaces the reference's Sage-PNG export, ref :194-212) -----
 
     def get_mat_numpy(self, zeros: Zeros) -> tuple[np.ndarray, np.ndarray]:
@@ -580,6 +734,30 @@ class QuadraticSystem(LinearSystem):
             except DimensionTooLargeError as e:
                 raise DimensionTooLargeError(
                     f"batch instance {i}: {e}", space=e.space
+                ) from None
+        return out
+
+    def solve_one_sweep(self, zeros, guesses, candidates=None, *,
+                        max_dimension: int = 16):
+        """Guess-and-solve sweep (see :meth:`LinearSystem.solve_one_sweep`),
+        consistency-filtered: a raw mode-0 point can violate the monomial
+        consistency relations, so each candidate's solution space enumerates
+        to its first CONSISTENT point — the same routing as solve_one /
+        solve_one_batch.  ``guesses`` may be quadratic expressions (mul_bit
+        products linearize into monomial rows like any other equation)."""
+        spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1)
+        out = []
+        for i, sp in enumerate(spaces):
+            if sp is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    next(self._enumerate_space(sp, max_dimension), None)
+                )
+            except DimensionTooLargeError as e:
+                raise DimensionTooLargeError(
+                    f"sweep candidate {i}: {e}", space=e.space
                 ) from None
         return out
 
