@@ -409,6 +409,17 @@ class LinearSystem:
         bits = packing.unpack_rows(eqs, self._nbits)
         return bits[:, 1:], bits[:, 0]
 
+    def get_mat_scipy(self, zeros: Zeros):
+        """Sparse CSR export: ``(A, b)`` with ``A`` a scipy.sparse
+        csr_matrix of uint8 over GF(2) and ``b`` the numpy RHS vector
+        (SURVEY §7 design delta 9 — the sparse face of the Sage-export
+        replacement; goes through the dense unpack, so at flagship scale
+        expect a transient ``rows x cols`` uint8 array)."""
+        import scipy.sparse as sp
+
+        a, b = self.get_mat_numpy(zeros)
+        return sp.csr_matrix(a), b
+
     def get_sage_mat(self, zeros: Zeros, *, _sage=None):
         """Sage interop kept by name (ref :194-212); builds via numpy.
 

@@ -115,6 +115,23 @@ def test_get_mat_numpy():
     assert list(b) == [1, 0, 1, 0]
 
 
+def test_get_mat_scipy():
+    lin = LinearSystem([6])
+    (x,) = lin.gens()
+    zeros = [(x & 0b101) ^ 0b100, x[1] ^ 1]
+    a, b = lin.get_mat_scipy(zeros)
+    ad, bd = lin.get_mat_numpy(zeros)
+    import scipy.sparse as sp
+
+    assert sp.issparse(a)
+    assert np.array_equal(a.toarray(), ad)
+    assert np.array_equal(b, bd)
+    # Ax = b for the actual solution
+    (sol,) = lin.solve_one(zeros)
+    xv = np.array([(sol >> i) & 1 for i in range(6)], np.uint8)
+    assert np.array_equal((a @ xv) % 2, b)
+
+
 def test_m4ri_solve_compat_shim():
     """Top-level m4ri_solve accepts big-int equation masks like the
     reference's native entry (_internal.pyi:18-23)."""
