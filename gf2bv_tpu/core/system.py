@@ -755,7 +755,14 @@ class QuadraticSystem(LinearSystem):
         consistency relations, so each candidate's solution space enumerates
         to its first CONSISTENT point — the same routing as solve_one /
         solve_one_batch.  ``guesses`` may be quadratic expressions (mul_bit
-        products linearize into monomial rows like any other equation)."""
+        products linearize into monomial rows like any other equation).
+
+        Scope note: this pins ``expr ^ v`` only.  ``bit_assert``'s extra
+        consistency products (``a*b_i = v*b_i``) have candidate-DEPENDENT
+        coefficients, so they cannot ride a shared elimination — when the
+        attack needs their rank (e.g. examples/nlfsr_ex.py's 2-bit
+        bruteforce), sweep with the batched per-system solver
+        (parallel.batch.solve_batch_systems) instead."""
         spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1)
         out = []
         for i, sp in enumerate(spaces):
