@@ -7,7 +7,7 @@ known-MSB equation).  The reference publishes no numbers (BASELINE.md); M4RI
 single-core on this size is documented there as seconds-scale — the
 ``vs_baseline`` field uses the BASELINE.md sizing estimate (2.0 s).  A
 measured reference point on THIS machine: our own M4R-class native C engine
-(gf2bv_tpu/_native, libm4ri's algorithm family) takes 1.1 s cold on the
+(gf2bv_tpu/_native, libm4ri's algorithm family) takes 0.65 s cold on the
 single available CPU core (mode-0 trailing path, NSUB=4 macro-panels).
 
 Pipeline measured: the symbolic system is built ON the TPU
@@ -32,9 +32,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 M4RI_BASELINE_EST_S = 2.0
-# mode-0 trailing path, cold run (warm min 0.63 s; round-1 single-table
+# mode-0 trailing path, cold run (warm min 0.42 s; round-1 single-table
 # engine was 5.9 s) — see scripts/bench_native.py + BASELINE.md
-NATIVE_ENGINE_MEASURED_S = 1.1
+NATIVE_ENGINE_MEASURED_S = 0.65
 
 
 def log(*a):
@@ -377,7 +377,7 @@ def main():
                         round(1 / chain_s, 2) if chain_s else None
                     ),
                     "baseline": "M4RI single-core estimate 2.0s (BASELINE.md; reference publishes no numbers)",
-                    "vs_native_engine_1.1s": round(
+                    "vs_native_engine_0.65s": round(
                         NATIVE_ENGINE_MEASURED_S / solve_s, 2
                     ),
                 },

@@ -80,6 +80,7 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
     uint64_t *sel = (uint64_t *)malloc((size_t)rows * 8);
     uint64_t *pf = (uint64_t *)malloc(KCOLS * (size_t)w_alloc * 8);
     uint64_t *tbl = (uint64_t *)malloc(NSUB * 256 * (size_t)w_alloc * 8);
+    int64_t first_free = 0; /* all rows below this are used (pivots) */
 
     for (int64_t c0 = 1; c0 <= cols; c0 += KCOLS) {
         int np = (int)((cols + 1 - c0) < KCOLS ? (cols + 1 - c0) : KCOLS);
@@ -99,7 +100,8 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
         for (int jj = 0; jj < np; jj++) {
             prow[jj] = -1;
             int64_t piv = -1;
-            for (int64_t i = 0; i < rows; i++) {
+            while (first_free < rows && used[first_free]) first_free++;
+            for (int64_t i = first_free; i < rows; i++) {
                 if (!used[i] && ((strip[i] >> jj) & 1)) { piv = i; break; }
             }
             if (piv < 0) continue;
@@ -119,10 +121,11 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
                 }
             }
             borig_piv[jj] = stripk(&a[(size_t)piv * w_alloc], c0, np);
-            /* eliminate remaining candidates within the strip */
+            /* eliminate remaining candidates within the strip (rows below
+             * first_free are all used — skip the dense prefix) */
             uint64_t bpiv = strip[piv];
 #pragma omp parallel for schedule(static)
-            for (int64_t i = 0; i < rows; i++) {
+            for (int64_t i = first_free; i < rows; i++) {
                 if (!used[i] && ((strip[i] >> jj) & 1)) {
                     strip[i] ^= bpiv;
                     coef[i] ^= (uint64_t)1 << jj;
