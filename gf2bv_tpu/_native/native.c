@@ -44,6 +44,8 @@
 #define NSUB 4 /* 32-column macro-panels: best measured single-core value */
 #endif
 #define KCOLS (NSUB * PANEL)
+/* strip/coef/sel/pivmask are single uint64 words: at most 64 panel bits */
+_Static_assert(NSUB >= 1 && NSUB <= 8, "NSUB must be in 1..8");
 
 static inline uint64_t stripk(const uint64_t *row, int64_t c0, int k) {
     /* bits c0..c0+k-1 (k <= 64) of a packed row; the pad word guarantees

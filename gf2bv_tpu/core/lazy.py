@@ -369,6 +369,21 @@ def _pad_words(rows: np.ndarray, w: int) -> np.ndarray:
     return out
 
 
+def materialize_pending(bvs) -> None:
+    """Materialize every not-yet-materialized LazyBitVec among ``bvs`` in
+    ONE shared-memo walk (per-item materialization would re-evaluate the
+    shared trace prefix per row).  The single helper for every consumer
+    that mixes eager and lazy BitVecs (get_eqs_packed, guess sweeps)."""
+    pending = [
+        bv for bv in bvs if isinstance(bv, LazyBitVec) and bv._rows is None
+    ]
+    if pending:
+        for bv, mat in zip(
+            pending, materialize_many([bv._expr for bv in pending])
+        ):
+            bv._rows = mat
+
+
 def pad_mats_to_words(mats, nw: int):
     """Zero-extend materialized row blocks to a common word count (quadratic
     traces emit pure-linear rows at the narrow linear-columns width).  The

@@ -102,18 +102,9 @@ class LinearSystem:
 
     def get_eqs_packed(self, zeros: Zeros) -> np.ndarray:
         """Stack zeros into a packed (rows, W64) matrix, dropping zero rows."""
-        from .lazy import LazyBitVec, materialize_many
+        from .lazy import materialize_pending
 
-        # materialize all lazy zeros in ONE shared-memo walk (per-item
-        # materialization would re-evaluate the shared trace prefix per row)
-        pending = [
-            bv for bv in zeros if isinstance(bv, LazyBitVec) and bv._rows is None
-        ]
-        if pending:
-            for bv, mat in zip(
-                pending, materialize_many([bv._expr for bv in pending])
-            ):
-                bv._rows = mat
+        materialize_pending(zeros)
         blocks = []
         for bv in zeros:
             if isinstance(bv, BitVec):
@@ -259,7 +250,7 @@ class LinearSystem:
         whole system per guess (one PLUQ per ``m4ri_solve`` call,
         /root/reference/gf2bv/_internal.c:359-502; guess loops as in
         /root/reference/examples/nlfsr.py:60-74)."""
-        from .lazy import LazyBitVec, materialize_many, pad_mats_to_words
+        from .lazy import materialize_pending, pad_mats_to_words
         from ..ops import multi_rhs
         from ..ops.gauss_blocked import K_PANEL, _pad
 
@@ -274,33 +265,22 @@ class LinearSystem:
                     "variables (got %r)" % type(g).__name__
                 )
         # one shared-memo materialization walk for zeros + guesses
-        lazies = [
-            bv for bv in (*zeros, *guesses)
-            if isinstance(bv, LazyBitVec) and bv._rows is None
-        ]
-        if lazies:
-            for bv, mat in zip(
-                lazies, materialize_many([bv._expr for bv in lazies])
-            ):
-                bv._rows = mat
+        materialize_pending((*zeros, *guesses))
 
         base = self.get_eqs_packed(zeros)
         # Reference-idiom bit expressions ((x >> i) & 1, mul_bit products)
-        # are FULL-width BitVecs whose high bits are identically zero; trim
-        # each guess to its last nonzero row.  Trimmed (constant-0) bits
-        # only admit the value 0 — an explicit candidate pinning one to 1
-        # is decided unsatisfiable host-side.  Interior zero rows within
-        # the kept prefix stay in the matrix (NOT zero-filtered like zeros
-        # rows): pinning a constant bit to 1 must come back unsatisfiable.
-        gmats, widths, kept = [], [], []
+        # are FULL-width BitVecs most of whose bits are identically zero;
+        # only each guess's LIVE (nonzero-row) bits enter the matrix and
+        # the enumeration.  Dead bits only admit the value 0 — an explicit
+        # candidate pinning one to 1 is decided unsatisfiable host-side.
+        gmats, widths, live = [], [], []
         for g in guesses:
             rows_g = pad_mats_to_words([g.rows], self._nw)[0]
             nz = np.nonzero(rows_g.any(axis=1))[0]
-            kw = int(nz[-1]) + 1 if nz.size else 0
-            gmats.append(rows_g[:kw])
+            gmats.append(rows_g[nz])
             widths.append(len(g))
-            kept.append(kw)
-        G = sum(kept)
+            live.append(nz)
+        G = sum(len(nz) for nz in live)
         gmat = np.concatenate(
             gmats + [np.zeros((0, self._nw), np.uint64)], axis=0
         )
@@ -338,34 +318,43 @@ class LinearSystem:
                         f"{len(guesses)} guesses"
                     )
                 off = 0
-                for v, wd, kw in zip(tup, widths, kept):
+                for v, wd, nz in zip(tup, widths, live):
                     v = int(v)
                     if v >> wd:
                         raise ValueError(
                             f"candidate {bi}: value {v} exceeds the "
                             f"{wd}-bit guess width"
                         )
-                    if v >> kw:  # pins an identically-0 bit to 1
+                    dead = v
+                    for j, p in enumerate(nz):
+                        b = (v >> int(p)) & 1
+                        bits[bi, off + j] = b
+                        dead &= ~(1 << int(p))
+                    if dead:  # pins an identically-0 bit to 1
                         forced_unsat[bi] = True
-                    for j in range(kw):
-                        bits[bi, off + j] = (v >> j) & 1
-                    off += kw
+                    off += len(nz)
+
+        import jax.numpy as jnp
+
+        # upload the padded coefficient matrix ONCE; solve_multi_rhs takes
+        # device-resident matrices, so chunks past MAX_RHS don't re-ship
+        # ~50 MB per elimination
+        a_dev = jnp.asarray(_pad(eqs, K_PANEL, word_align=128))
 
         # per-candidate affine column: the traced affine bits, with the
-        # guess rows' constants flipped by the candidate's values
+        # guess rows' constants flipped by the candidate's values — built
+        # per chunk ((B, rows) at the full-enumeration cap would be GBs)
         base_aff = (eqs[:, 0] & np.uint64(1)).astype(np.uint8)
-        rhs = np.broadcast_to(base_aff, (B, rows)).copy()
-        if G:
-            rhs[:, rows - G:] ^= bits
-
-        a32 = _pad(eqs, K_PANEL, word_align=128)
         out: list = []
         bcache: dict = {}  # mode-1 basis is candidate- and chunk-invariant
         for c0 in range(0, B, multi_rhs.MAX_RHS):
+            nb = min(multi_rhs.MAX_RHS, B - c0)
+            rhs = np.broadcast_to(base_aff, (nb, rows)).copy()
+            if G:
+                rhs[:, rows - G:] ^= bits[c0 : c0 + nb]
             out.extend(
                 multi_rhs.solve_multi_rhs(
-                    a32, self._cols, rhs[c0 : c0 + multi_rhs.MAX_RHS],
-                    mode, basis_cache=bcache,
+                    a_dev, self._cols, rhs, mode, basis_cache=bcache,
                 )
             )
         return [None if bad else r for bad, r in zip(forced_unsat, out)]
