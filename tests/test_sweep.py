@@ -162,3 +162,25 @@ def test_quadratic_sweep_consistency_filtered():
     ]
     assert got == want
     assert got[true_g] == (secret,)
+
+def test_sweep_interior_dead_bits_not_enumerated():
+    """A guess like (x >> k) & 0b101 has an interior identically-zero bit:
+    default enumeration covers only the LIVE bits (4 candidates, not 8),
+    and an explicit candidate setting the dead bit comes back None."""
+    rng = np.random.default_rng(13)
+    lin = LinearSystem([32])
+    secret, zeros = _mt_like(rng, lin, 40)
+    (x,) = lin.gens(lazy=False)
+
+    g = (x >> 3) & 0b101  # live bits at expr positions 0 and 2
+    got = lin.solve_one_sweep(zeros, [g])
+    assert len(got) == 4  # 2 live bits
+    true_live = ((secret >> 3) & 1) | ((((secret >> 5) & 1)) << 1)
+    assert got[true_live] == lin.solve_one(zeros)
+    assert [s is not None for s in got].count(True) == 1
+
+    # explicit candidates use the EXPRESSION's value space: bit 1 is dead
+    ex = lin.solve_one_sweep(zeros, [g], [(0b101,), (0b010,), (0b111,)])
+    assert ex[1] is None and ex[2] is None  # dead bit pinned to 1
+    want_v = secret >> 3 & 0b101
+    assert (ex[0] is not None) == (want_v == 0b101)
