@@ -145,3 +145,77 @@ def solve_native(eqs: np.ndarray, cols: int, mode: int):
             return None  # unsat (or any engine bug): origin does not satisfy
         return origin
     return origin, extract.build_basis(pivot_rows, pivot_cols, cols)
+
+
+def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
+                           mode: int = 0):
+    """Host multi-RHS: solve the SAME coefficient matrix for many affine
+    columns with ONE ``gf2_rref`` — the native twin of
+    ``ops.multi_rhs.solve_multi_rhs`` (same contract: the matrix's own
+    bit-0 affine column is inert and ignored; one entry per instance, a raw
+    int / AffineSpace / None; all mode-1 instances share one basis).
+
+    The appended per-instance RHS words sit past the coefficient words, so
+    the elimination carries them along untouched by pivot selection; the
+    reference pays one full PLUQ per instance (``_internal.c:359-502``).
+    """
+    from ..core import packing
+    from ..core.affine import AffineSpace
+    from ..ops import extract
+
+    L = lib()
+    assert L is not None, "native backend unavailable (no gcc?)"
+    eqs = np.asarray(eqs, np.uint64)
+    rows, w = eqs.shape
+    rhs_bits = np.asarray(rhs_bits, np.uint8)
+    B = rhs_bits.shape[0]
+    assert rhs_bits.shape[1] == rows, "one affine bit per row per instance"
+    bw = (B + 63) // 64
+
+    a = np.zeros((rows, w + bw + 1), dtype=np.uint64)  # +1 pad word
+    a[:, :w] = eqs
+    a[:, 0] &= ~np.uint64(1)  # inert own-affine column
+    # instance k's bit -> word w + (k>>6), bit k&63 (little-endian host)
+    pk = np.packbits(rhs_bits, axis=0, bitorder="little")  # (ceil(B/8), rows)
+    rhs8 = np.zeros((rows, bw * 8), dtype=np.uint8)
+    rhs8[:, : pk.shape[0]] = pk.T
+    a[:, w : w + bw] = rhs8.view(np.uint64)
+
+    pof = np.full(cols, -1, dtype=np.int32)
+    used = np.zeros(rows, dtype=np.uint8)
+    L.gf2_rref(a.ctypes.data, rows, a.shape[1], cols,
+               pof.ctypes.data, used.ctypes.data, 0)
+
+    pivot_cols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1
+    prows = a[pof[pivot_cols - 1]] if pivot_cols.size else a[:0]
+
+    # instance k unsatisfiable <=> some row with an empty coefficient part
+    # still carries its RHS bit (the multi-column 0*x = 1)
+    dead = ~a[:, :w].any(axis=1)
+    if dead.any():
+        unsat_words = np.bitwise_or.reduce(a[dead, w : w + bw], axis=0)
+    else:
+        unsat_words = np.zeros(bw, dtype=np.uint64)
+
+    # origin_k: RHS-column-k bits of the pivot rows, scattered to pivot cols
+    bits = np.unpackbits(
+        prows[:, w : w + bw].copy().view(np.uint8), axis=1,
+        bitorder="little",
+    )[:, :B]  # (rank, B)
+    xs = np.zeros((B, cols), dtype=np.uint8)
+    if pivot_cols.size:
+        xs[:, pivot_cols - 1] = bits.T
+    origins = packing.pack_bits(xs, cols)  # (B, Wsol)
+
+    out, basis = [], None
+    for k in range(B):
+        if (int(unsat_words[k >> 6]) >> (k & 63)) & 1:
+            out.append(None)
+            continue
+        if mode == 0:
+            out.append(packing.words_to_int(origins[k]))
+        else:
+            if basis is None:
+                basis = extract.build_basis(prows, pivot_cols, cols)
+            out.append(AffineSpace(origins[k], basis, cols))
+    return out

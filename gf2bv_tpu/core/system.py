@@ -334,29 +334,41 @@ class LinearSystem:
                         forced_unsat[bi] = True
                     off += len(nz)
 
-        import jax.numpy as jnp
+        if self._backend == "native":
+            from .. import _native
 
-        # upload the padded coefficient matrix ONCE; solve_multi_rhs takes
-        # device-resident matrices, so chunks past MAX_RHS don't re-ship
-        # ~50 MB per elimination
-        a_dev = jnp.asarray(_pad(eqs, K_PANEL, word_align=128))
+            if not _native.available():
+                raise RuntimeError("native backend unavailable (no gcc?)")
+
+            def run_chunk(rhs):
+                return _native.solve_multi_rhs_native(
+                    eqs, self._cols, rhs, mode
+                )
+        else:
+            import jax.numpy as jnp
+
+            # upload the padded coefficient matrix ONCE; solve_multi_rhs
+            # takes device-resident matrices, so chunks past MAX_RHS don't
+            # re-ship ~50 MB per elimination
+            a_dev = jnp.asarray(_pad(eqs, K_PANEL, word_align=128))
+            bcache: dict = {}  # mode-1 basis is candidate/chunk-invariant
+
+            def run_chunk(rhs):
+                return multi_rhs.solve_multi_rhs(
+                    a_dev, self._cols, rhs, mode, basis_cache=bcache,
+                )
 
         # per-candidate affine column: the traced affine bits, with the
         # guess rows' constants flipped by the candidate's values — built
         # per chunk ((B, rows) at the full-enumeration cap would be GBs)
         base_aff = (eqs[:, 0] & np.uint64(1)).astype(np.uint8)
         out: list = []
-        bcache: dict = {}  # mode-1 basis is candidate- and chunk-invariant
         for c0 in range(0, B, multi_rhs.MAX_RHS):
             nb = min(multi_rhs.MAX_RHS, B - c0)
             rhs = np.broadcast_to(base_aff, (nb, rows)).copy()
             if G:
                 rhs[:, rows - G:] ^= bits[c0 : c0 + nb]
-            out.extend(
-                multi_rhs.solve_multi_rhs(
-                    a_dev, self._cols, rhs, mode, basis_cache=bcache,
-                )
-            )
+            out.extend(run_chunk(rhs))
         return [None if bad else r for bad, r in zip(forced_unsat, out)]
 
     def solve_one_sweep(self, zeros, guesses, candidates=None):

@@ -175,3 +175,44 @@ def test_multi_rhs_multitile_bucket():
 def test_multi_rhs_too_many_instances_rejected():
     with pytest.raises(ValueError, match="at most"):
         multi_rhs._bw_for(multi_rhs.MAX_RHS + 1)
+
+
+def test_native_multi_rhs_matches_device_path():
+    """Host multi-RHS (one gf2_rref, appended RHS words) must agree with
+    the device multi-RHS entry instance-for-instance, both modes, including
+    unsatisfiable instances."""
+    from gf2bv_tpu import _native
+    from gf2bv_tpu.core import packing
+
+    if not _native.available():
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(71)
+    cols, rows, B = 200, 210, 75
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    base_rhs = (coeff @ secret) % 2
+    eqs = packing.pack_bits(
+        np.concatenate([base_rhs[:, None], coeff], axis=1), 1 + cols
+    )
+    # instance k: flip k extra random affine bits (some become unsat)
+    rhs_bits = np.broadcast_to(base_rhs.astype(np.uint8), (B, rows)).copy()
+    flips = rng.integers(0, 2, size=(B, rows)).astype(np.uint8)
+    flips[0] = 0  # instance 0 stays the clean system
+    rhs_bits ^= flips & (rng.integers(0, 4, size=(B, 1)) == 0)
+
+    from gf2bv_tpu.ops import multi_rhs as mr
+
+    a32 = packing.to_u32(eqs)
+    for mode in (0, 1):
+        want = mr.solve_multi_rhs(a32, cols, rhs_bits, mode)
+        got = _native.solve_multi_rhs_native(eqs, cols, rhs_bits, mode)
+        assert len(got) == len(want) == B
+        for k, (g, w) in enumerate(zip(got, want)):
+            if w is None:
+                assert g is None, k
+            elif mode == 0:
+                assert g == w, k
+            else:
+                assert g.get(0) == w.get(0), k
+                assert g.dimension == w.dimension
+                assert list(g.basis) == list(w.basis)

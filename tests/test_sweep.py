@@ -184,3 +184,24 @@ def test_sweep_interior_dead_bits_not_enumerated():
     assert ex[1] is None and ex[2] is None  # dead bit pinned to 1
     want_v = secret >> 3 & 0b101
     assert (ex[0] is not None) == (want_v == 0b101)
+
+
+def test_sweep_native_backend_matches_default():
+    from gf2bv_tpu import _native
+
+    if not _native.available():
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(17)
+    lin = LinearSystem([40])
+    secret, zeros = _mt_like(rng, lin, 36)
+    lin_nat = LinearSystem([40], backend="native")
+    (x,) = lin.gens(lazy=False)
+    (xn,) = lin_nat.gens(lazy=False)
+
+    got = lin.solve_one_sweep(zeros, [(x >> 2).sum(), x[7]])
+    # rebuild the same workload against the native-backend system
+    rngb = np.random.default_rng(17)
+    secret_b, zeros_b = _mt_like(rngb, lin_nat, 36)
+    assert secret_b == secret
+    nat = lin_nat.solve_one_sweep(zeros_b, [(xn >> 2).sum(), xn[7]])
+    assert nat == got
