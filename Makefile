@@ -3,10 +3,10 @@
 test:
 	python -m pytest tests/ -q
 
-native: gf2bv_tpu/_native/libgf2native.so
+native: gf2bv_tpu/_native/libgf2native_n2.so gf2bv_tpu/_native/libgf2native_n8.so
 
-gf2bv_tpu/_native/libgf2native.so: gf2bv_tpu/_native/native.c
-	gcc -O3 -march=native -funroll-loops -fopenmp -shared -fPIC -o $@ $<
+gf2bv_tpu/_native/libgf2native_n%.so: gf2bv_tpu/_native/native.c
+	gcc -O3 -march=native -funroll-loops -fopenmp -DNSUB=$* -shared -fPIC -o $@ $<
 
 bench:
 	python bench.py
@@ -23,5 +23,5 @@ verify: test
 	python examples/simple.py >/dev/null && echo examples/simple OK
 
 clean:
-	rm -f gf2bv_tpu/_native/libgf2native.so
+	rm -f gf2bv_tpu/_native/libgf2native*.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

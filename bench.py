@@ -7,8 +7,8 @@ known-MSB equation).  The reference publishes no numbers (BASELINE.md); M4RI
 single-core on this size is documented there as seconds-scale — the
 ``vs_baseline`` field uses the BASELINE.md sizing estimate (2.0 s).  A
 measured reference point on THIS machine: our own M4R-class native C engine
-(gf2bv_tpu/_native, libm4ri's algorithm family) takes 0.65 s cold on the
-single available CPU core (mode-0 trailing path, NSUB=4 macro-panels).
+(gf2bv_tpu/_native, libm4ri's algorithm family) takes 0.43 s warm on the
+single available CPU core (mode-0 trailing path, adaptive macro-panels).
 
 Pipeline measured: the symbolic system is built ON the TPU
 (crypto/mt_jax.py — bit-exact vs the generic host trace, tested), so only
@@ -32,9 +32,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 M4RI_BASELINE_EST_S = 2.0
-# mode-0 trailing path, cold run (warm min 0.42 s; round-1 single-table
+# mode-0 trailing path, warm (first call ~1 s; round-1 single-table
 # engine was 5.9 s) — see scripts/bench_native.py + BASELINE.md
-NATIVE_ENGINE_MEASURED_S = 0.65
+NATIVE_ENGINE_MEASURED_S = 0.43
 
 
 def log(*a):

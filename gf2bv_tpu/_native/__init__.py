@@ -4,8 +4,9 @@ Plays the role of the reference's C extension + libm4ri on hosts without a
 TPU (``/root/reference/gf2bv/_internal.c:359-502`` / ``setup.py:55-73``) —
 a from-scratch M4R-family engine, no m4ri code.
 
-Builds the shared library on demand (single-file gcc compile, cached next to
-the source keyed by mtime) and exposes numpy-friendly wrappers.  Everything
+Builds the shared library variants on demand (single-file gcc compiles,
+cached next to the source keyed by mtime) and exposes numpy-friendly
+wrappers.  Everything
 degrades gracefully: ``lib()`` returns None if no compiler is available and
 callers fall back to the pure-numpy/JAX paths.
 """
@@ -22,16 +23,23 @@ import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "native.c"
-_LIB: ctypes.CDLL | None | bool = None  # None = not tried, False = unavailable
+# Two engine variants: the bulk-update macro-panel width (NSUB 8-bit
+# tables per pass) trades per-panel overhead against matrix sweeps, and
+# the optimum is shape-dependent — measured single-core: NSUB=2 wins below
+# a few thousand columns, NSUB=8 at flagship scale (scripts/bench_native.py
+# + the MT19937 numbers in BASELINE.md).  `lib()` picks by column count.
+_NSUB_SMALL, _NSUB_LARGE = 2, 8
+_NSUB_SPLIT_COLS = 4096
+_LIBS: dict = {}  # nsub -> CDLL | False
 
 
-def _build() -> Path | None:
-    so = _HERE / "libgf2native.so"
+def _build(nsub: int) -> Path | None:
+    so = _HERE / f"libgf2native_n{nsub}.so"
     if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
         return so
     cmd = [
         "gcc", "-O3", "-march=native", "-funroll-loops", "-fopenmp",
-        "-shared", "-fPIC", "-o", str(so), str(_SRC),
+        f"-DNSUB={nsub}", "-shared", "-fPIC", "-o", str(so), str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -39,7 +47,9 @@ def _build() -> Path | None:
     except Exception:
         # read-only package dir or missing gcc: try a temp dir
         try:
-            tmp = Path(tempfile.gettempdir()) / f"libgf2native_{os.getuid()}.so"
+            tmp = Path(tempfile.gettempdir()) / (
+                f"libgf2native_n{nsub}_{os.getuid()}.so"
+            )
             cmd[-2] = str(tmp)
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             return tmp
@@ -47,12 +57,16 @@ def _build() -> Path | None:
             return None
 
 
-def lib() -> ctypes.CDLL | None:
-    global _LIB
-    if _LIB is None:
-        so = _build()
+def lib(cols: int | None = None) -> ctypes.CDLL | None:
+    """The engine variant for a system of ``cols`` columns (default: the
+    flagship/large variant)."""
+    nsub = _NSUB_SMALL if (cols is not None and cols < _NSUB_SPLIT_COLS) \
+        else _NSUB_LARGE
+    L = _LIBS.get(nsub)
+    if L is None:
+        so = _build(nsub)
         if so is None:
-            _LIB = False
+            L = False
         else:
             L = ctypes.CDLL(str(so))
             L.gf2_rref.restype = ctypes.c_int64
@@ -71,8 +85,8 @@ def lib() -> ctypes.CDLL | None:
                 ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_void_p,
             ]
-            _LIB = L
-    return _LIB or None
+        _LIBS[nsub] = L
+    return L or None
 
 
 def available() -> bool:
@@ -87,7 +101,7 @@ def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False):
     matrix is then NOT a full RREF in the free columns and satisfiability is
     NOT determined — the flag comes back as None (never False) and callers
     must verify the candidate solution (see solve_native)."""
-    L = lib()
+    L = lib(cols)
     assert L is not None, "native backend unavailable (no gcc?)"
     rows, w = eqs.shape
     a = np.zeros((rows, w + 1), dtype=np.uint64)  # +1 pad word for strip8
@@ -163,7 +177,7 @@ def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
     from ..core.affine import AffineSpace
     from ..ops import extract
 
-    L = lib()
+    L = lib(cols)
     assert L is not None, "native backend unavailable (no gcc?)"
     eqs = np.asarray(eqs, np.uint64)
     rows, w = eqs.shape

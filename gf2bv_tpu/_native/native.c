@@ -41,7 +41,11 @@
 
 #define PANEL 8
 #ifndef NSUB
-#define NSUB 4 /* 32-column macro-panels: best measured single-core value */
+/* 64-column macro-panels: best on real (structured/sparse) systems — the
+ * MT19937 flagship measures 0.248 s raw at NSUB=8 vs 0.356 s at NSUB=4
+ * (zero selectors skip whole rows, favoring fewer wider passes); dense
+ * random is within 5% of the NSUB=4 optimum.  scripts/bench_native.py. */
+#define NSUB 8
 #endif
 #define KCOLS (NSUB * PANEL)
 /* strip/coef/sel/pivmask are single uint64 words: at most 64 panel bits */
@@ -216,6 +220,28 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
                 for (int64_t w = w1; w < w_alloc; w++)
                     dst[w] ^= srcs[0][w] ^ srcs[1][w] ^ srcs[2][w] ^
                               srcs[3][w];
+                break;
+            case 5:
+                for (int64_t w = w1; w < w_alloc; w++)
+                    dst[w] ^= srcs[0][w] ^ srcs[1][w] ^ srcs[2][w] ^
+                              srcs[3][w] ^ srcs[4][w];
+                break;
+            case 6:
+                for (int64_t w = w1; w < w_alloc; w++)
+                    dst[w] ^= srcs[0][w] ^ srcs[1][w] ^ srcs[2][w] ^
+                              srcs[3][w] ^ srcs[4][w] ^ srcs[5][w];
+                break;
+            case 7:
+                for (int64_t w = w1; w < w_alloc; w++)
+                    dst[w] ^= srcs[0][w] ^ srcs[1][w] ^ srcs[2][w] ^
+                              srcs[3][w] ^ srcs[4][w] ^ srcs[5][w] ^
+                              srcs[6][w];
+                break;
+            case 8:
+                for (int64_t w = w1; w < w_alloc; w++)
+                    dst[w] ^= srcs[0][w] ^ srcs[1][w] ^ srcs[2][w] ^
+                              srcs[3][w] ^ srcs[4][w] ^ srcs[5][w] ^
+                              srcs[6][w] ^ srcs[7][w];
                 break;
             default:
                 for (int64_t w = w1; w < w_alloc; w++) {
