@@ -125,6 +125,35 @@ class CapturedTrace:
             return
         yield from self.system._enumerate_space(space, max_dimension)
 
+    def solve_one_sweep(self, values: Sequence[int], guesses,
+                        candidates=None, *, max_dimension: int = 16):
+        """Guess-and-solve sweep over ONE bound instance: bind ``values``
+        (no Python re-trace), pin the ``guesses`` bit expressions to every
+        candidate assignment, and solve all candidates with ONE elimination
+        (same semantics as :meth:`LinearSystem.solve_one_sweep`; guesses
+        must be Param-free expressions over the system's variables).  The
+        shape for truncated-observation attacks: bound outputs + swept
+        unknown bits."""
+        values = self._check(values)
+        eqs = self._eqs_with_env(values)
+        # keep const-only 0=1 rows: per-candidate dead-row detection then
+        # marks every candidate unsatisfiable, as it should
+        eqs = eqs[eqs.any(axis=1)]
+        sys = self.system
+        if getattr(sys, "_quad_size", None) is not None:
+            spaces = sys._sweep_from_eqs(eqs, guesses, candidates, 1)
+            out = []
+            for i, sp in enumerate(spaces):
+                if sp is None:
+                    out.append(None)
+                    continue
+                out.append(
+                    next(sys._enumerate_space(sp, max_dimension), None)
+                )
+            return out
+        raws = sys._sweep_from_eqs(eqs, guesses, candidates, 0)
+        return [None if r is None else sys.convert_sol(r) for r in raws]
+
     # -- multi-RHS batch: ONE elimination for many instances ---------------
 
     def solve_raw_batch(self, values_batch, mode: int = 0):

@@ -250,11 +250,24 @@ class LinearSystem:
         whole system per guess (one PLUQ per ``m4ri_solve`` call,
         /root/reference/gf2bv/_internal.c:359-502; guess loops as in
         /root/reference/examples/nlfsr.py:60-74)."""
+        from .lazy import materialize_pending
+
+        zeros = list(zeros)
+        guesses = list(guesses)
+        # one shared-memo materialization walk for zeros + guesses
+        materialize_pending((*zeros, *guesses))
+        return self._sweep_from_eqs(
+            self.get_eqs_packed(zeros), guesses, candidates, mode
+        )
+
+    def _sweep_from_eqs(self, base, guesses, candidates, mode: int):
+        """Sweep core over an already-packed base matrix ``base`` (its
+        affine column carries the bound constants); shared by the zeros
+        path above and CapturedTrace.solve_one_sweep."""
         from .lazy import materialize_pending, pad_mats_to_words
         from ..ops import multi_rhs
         from ..ops.gauss_blocked import K_PANEL, _pad
 
-        zeros = list(zeros)
         guesses = list(guesses)
         if not guesses:
             raise ValueError("at least one guess expression required")
@@ -264,10 +277,7 @@ class LinearSystem:
                     "guesses must be BitVec expressions over the system's "
                     "variables (got %r)" % type(g).__name__
                 )
-        # one shared-memo materialization walk for zeros + guesses
-        materialize_pending((*zeros, *guesses))
-
-        base = self.get_eqs_packed(zeros)
+        materialize_pending(guesses)
         # Reference-idiom bit expressions ((x >> i) & 1, mul_bit products)
         # are FULL-width BitVecs most of whose bits are identically zero;
         # only each guess's LIVE (nonzero-row) bits enter the matrix and

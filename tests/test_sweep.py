@@ -205,3 +205,37 @@ def test_sweep_native_backend_matches_default():
     assert secret_b == secret
     nat = lin_nat.solve_one_sweep(zeros_b, [(xn >> 2).sum(), xn[7]])
     assert nat == got
+
+
+def test_captured_trace_sweep_matches_direct():
+    """CapturedTrace.solve_one_sweep: bind one instance's outputs, sweep
+    guessed bits — must equal the direct-system sweep on the same
+    workload, and recover the key from truncated observations."""
+    from gf2bv_tpu.crypto.lfsr import GaloisLFSR
+
+    W, TAPS = 48, (1 << 47) | 0b1101
+    lin = LinearSystem([W])
+
+    def model(ws, p):
+        reg = GaloisLFSR(W, TAPS, ws[0])
+        return [reg() ^ p[i] for i in range(W - 6)]  # 6 bits short
+
+    tmpl = lin.capture(model)
+    key = 0xBEEF1234CAFE & ((1 << W) - 1) | 1
+    reg = GaloisLFSR(W, TAPS, key)
+    observed = [reg() for _ in range(W - 6)]
+
+    (x,) = lin.gens(lazy=False)
+    guesses = [x[i] for i in range(W - 6, W)]  # the free high bits
+    got = tmpl.solve_one_sweep(observed, guesses)
+    assert len(got) == 64
+
+    # direct-system oracle
+    (xs,) = lin.gens()
+    sym = GaloisLFSR(W, TAPS, xs)
+    zeros = [sym() ^ o for o in observed]
+    want = lin.solve_one_sweep(zeros, guesses)
+    assert got == want
+    # the true high-bit assignment recovers the key
+    true_k = key >> (W - 6)
+    assert got[true_k] == (key,)
