@@ -90,7 +90,9 @@ def lib(cols: int | None = None) -> ctypes.CDLL | None:
 
 
 def available() -> bool:
-    return lib() is not None
+    # probe BOTH variants: solve paths pick by column count, so a guard
+    # that only checked one could pass while the other build fails
+    return lib() is not None and lib(1) is not None
 
 
 def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False):
@@ -162,7 +164,7 @@ def solve_native(eqs: np.ndarray, cols: int, mode: int):
 
 
 def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
-                           mode: int = 0):
+                           mode: int = 0, basis_cache: dict | None = None):
     """Host multi-RHS: solve the SAME coefficient matrix for many affine
     columns with ONE ``gf2_rref`` — the native twin of
     ``ops.multi_rhs.solve_multi_rhs`` (same contract: the matrix's own
@@ -172,6 +174,8 @@ def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
     The appended per-instance RHS words sit past the coefficient words, so
     the elimination carries them along untouched by pivot selection; the
     reference pays one full PLUQ per instance (``_internal.c:359-502``).
+    ``basis_cache``: caller-held dict so chunk loops over the same matrix
+    build the (chunk-invariant) mode-1 basis at most once.
     """
     from ..core import packing
     from ..core.affine import AffineSpace
@@ -189,10 +193,13 @@ def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
     a = np.zeros((rows, w + bw + 1), dtype=np.uint64)  # +1 pad word
     a[:, :w] = eqs
     a[:, 0] &= ~np.uint64(1)  # inert own-affine column
-    # instance k's bit -> word w + (k>>6), bit k&63 (little-endian host)
-    pk = np.packbits(rhs_bits, axis=0, bitorder="little")  # (ceil(B/8), rows)
+    # instance k's bit -> word w + (k>>6), bit k&63 (little-endian host);
+    # pack in 512-instance chunks so the strided pack stays cache-resident
+    # (the same fix as ops/multi_rhs._pack_rhs)
     rhs8 = np.zeros((rows, bw * 8), dtype=np.uint8)
-    rhs8[:, : pk.shape[0]] = pk.T
+    for lo in range(0, B, 512):
+        pk = np.packbits(rhs_bits[lo : lo + 512], axis=0, bitorder="little")
+        rhs8[:, lo // 8 : lo // 8 + pk.shape[0]] = pk.T
     a[:, w : w + bw] = rhs8.view(np.uint64)
 
     pof = np.full(cols, -1, dtype=np.int32)
@@ -221,7 +228,8 @@ def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
         xs[:, pivot_cols - 1] = bits.T
     origins = packing.pack_bits(xs, cols)  # (B, Wsol)
 
-    out, basis = [], None
+    bcache = basis_cache if basis_cache is not None else {}
+    out = []
     for k in range(B):
         if (int(unsat_words[k >> 6]) >> (k & 63)) & 1:
             out.append(None)
@@ -229,7 +237,9 @@ def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
         if mode == 0:
             out.append(packing.words_to_int(origins[k]))
         else:
-            if basis is None:
-                basis = extract.build_basis(prows, pivot_cols, cols)
-            out.append(AffineSpace(origins[k], basis, cols))
+            if "basis" not in bcache:
+                bcache["basis"] = extract.build_basis(
+                    prows, pivot_cols, cols
+                )
+            out.append(AffineSpace(origins[k], bcache["basis"], cols))
     return out

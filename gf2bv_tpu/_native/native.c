@@ -193,7 +193,9 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
         for (int64_t i = 0; i < rows; i++) {
             uint64_t s = sel[i];
             if (!s) continue;
-            const uint64_t *srcs[NSUB];
+            /* fixed 8 slots: the ns<=NSUB<=8 invariant bounds use, and
+             * the static switch bodies below index up to srcs[7] */
+            const uint64_t *srcs[8];
             int ns = 0;
             for (int t = 0; t < NSUB; t++) {
                 uint8_t b = (uint8_t)(s >> (PANEL * t));

@@ -142,15 +142,7 @@ class CapturedTrace:
         sys = self.system
         if getattr(sys, "_quad_size", None) is not None:
             spaces = sys._sweep_from_eqs(eqs, guesses, candidates, 1)
-            out = []
-            for i, sp in enumerate(spaces):
-                if sp is None:
-                    out.append(None)
-                    continue
-                out.append(
-                    next(sys._enumerate_space(sp, max_dimension), None)
-                )
-            return out
+            return sys._first_consistent_per_candidate(spaces, max_dimension)
         raws = sys._sweep_from_eqs(eqs, guesses, candidates, 0)
         return [None if r is None else sys.convert_sol(r) for r in raws]
 

@@ -344,15 +344,18 @@ class LinearSystem:
                         forced_unsat[bi] = True
                     off += len(nz)
 
-        if self._backend == "native":
+        from ..ops.solver import _resolve_backend
+
+        if _resolve_backend(self._backend, self._cols) == "native":
             from .. import _native
 
             if not _native.available():
                 raise RuntimeError("native backend unavailable (no gcc?)")
+            ncache: dict = {}  # mode-1 basis is candidate/chunk-invariant
 
             def run_chunk(rhs):
                 return _native.solve_multi_rhs_native(
-                    eqs, self._cols, rhs, mode
+                    eqs, self._cols, rhs, mode, basis_cache=ncache
                 )
         else:
             import jax.numpy as jnp
@@ -775,6 +778,12 @@ class QuadraticSystem(LinearSystem):
         bruteforce), sweep with the batched per-system solver
         (parallel.batch.solve_batch_systems) instead."""
         spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1)
+        return self._first_consistent_per_candidate(spaces, max_dimension)
+
+    def _first_consistent_per_candidate(self, spaces, max_dimension: int):
+        """Per-candidate first CONSISTENT point, annotating oversized
+        spaces with the candidate index (shared with the captured-trace
+        sweep, core/capture.py)."""
         out = []
         for i, sp in enumerate(spaces):
             if sp is None:
