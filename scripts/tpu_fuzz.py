@@ -422,6 +422,67 @@ def fuzz_multi_rhs_multitile(n=2, seed=0x4C1):
     print(f"TPU fuzz [multi-RHS multi-tile cols={cols}]: {n} sweeps OK")
 
 
+def fuzz_sweep(n=8, seed=0x5E3):
+    """Guess sweeps on the real chip vs the per-guess re-solve oracle:
+    random systems, random guess expressions (single-bit, multi-bit,
+    constant), default enumeration and explicit candidates; also the
+    captured-trace sweep against the direct-system sweep."""
+    from gf2bv_tpu import LinearSystem
+
+    rng = np.random.default_rng(seed)
+    w = 96
+    for i in range(n):
+        lin = LinearSystem([w])
+        (x,) = lin.gens(lazy=False)
+        secret = int(rng.integers(1, 1 << 62)) | (1 << (w - 1))
+        zeros = []
+        for _ in range(w + 4 - int(rng.integers(0, 8))):
+            mask = int(rng.integers(1, 1 << 62)) | int(rng.integers(0, 2)) << (w - 1)
+            bit = bin(secret & mask).count("1") & 1
+            zeros.append((x & mask).sum() ^ bit)
+        g1 = (x >> int(rng.integers(0, w - 4))).sum()
+        g2 = (x >> int(rng.integers(0, w - 4))) & 0b11
+        got = lin.solve_one_sweep(zeros, [g1, g2])
+        assert len(got) == 8, f"[sweep {i}]"
+        for k, sol in enumerate(got):
+            want = lin.solve_one(
+                list(zeros) + [g1 ^ (k & 1), g2 ^ (k >> 1)]
+            )
+            assert sol == want, f"[sweep {i}.{k}]"
+        print(f"[sweep {i}] OK", file=sys.stderr)
+    print(f"TPU fuzz [guess sweep w={w}]: {n} sweeps OK")
+
+
+def fuzz_captured_sweep(n=4, seed=0x7A1):
+    """CapturedTrace.solve_one_sweep vs the direct-system sweep on chip."""
+    from gf2bv_tpu import LinearSystem
+    from gf2bv_tpu.crypto.lfsr import GaloisLFSR
+
+    rng = np.random.default_rng(seed)
+    W, TAPS = 96, (1 << 95) | (1 << 17) | 0b101
+    lin = LinearSystem([W])
+
+    def model(ws, p):
+        reg = GaloisLFSR(W, TAPS, ws[0])
+        return [reg() ^ p[i] for i in range(W - 5)]
+
+    tmpl = lin.capture(model)
+    (x,) = lin.gens(lazy=False)
+    guesses = [x[i] for i in range(W - 5, W)]
+    (xs,) = lin.gens()
+    for i in range(n):
+        key = int(rng.integers(1, 1 << 62)) | (1 << (W - 1))
+        reg = GaloisLFSR(W, TAPS, key)
+        obs = [reg() for _ in range(W - 5)]
+        got = tmpl.solve_one_sweep(obs, guesses)
+        sym = GaloisLFSR(W, TAPS, xs)
+        want = lin.solve_one_sweep([sym() ^ o for o in obs], guesses)
+        assert got == want, f"[csweep {i}]"
+        assert got[key >> (W - 5)] == (key,), f"[csweep {i}] true key"
+        print(f"[csweep {i}] OK", file=sys.stderr)
+    print(f"TPU fuzz [captured sweep]: {n} instances OK")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
@@ -434,3 +495,5 @@ if __name__ == "__main__":
     fuzz_capture(max(8, n // 3), seed=seed ^ 0x66)
     fuzz_multi_rhs(max(6, n // 4), seed=seed ^ 0x77)
     fuzz_multi_rhs_multitile(2, seed=seed ^ 0x88)
+    fuzz_sweep(max(6, n // 4), seed=seed ^ 0x99)
+    fuzz_captured_sweep(max(3, n // 6), seed=seed ^ 0xAA)
