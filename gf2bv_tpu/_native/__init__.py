@@ -95,19 +95,27 @@ def available() -> bool:
     return lib() is not None and lib(1) is not None
 
 
-def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False):
+def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False,
+                aff_bits: np.ndarray | None = None):
     """In-place-free native RREF.  eqs: (rows, W64) uint64 packed.
 
     Returns (rref (rows, W64), pof (cols,) int32, inconsistent bool|None).
     trailing=True is the mode-0 fast path (~2x less memory traffic): the
     matrix is then NOT a full RREF in the free columns and satisfiability is
     NOT determined — the flag comes back as None (never False) and callers
-    must verify the candidate solution (see solve_native)."""
+    must verify the candidate solution (see solve_native).
+    ``aff_bits``: optional (rows,) per-instance affine bits that REPLACE
+    bit 0 of each row (the lazy-trace fast path keeps one structural matrix
+    cached and swaps only this column per solve, ops/lazy_solve.py)."""
     L = lib(cols)
     assert L is not None, "native backend unavailable (no gcc?)"
     rows, w = eqs.shape
     a = np.zeros((rows, w + 1), dtype=np.uint64)  # +1 pad word for strip8
     a[:, :w] = eqs
+    if aff_bits is not None:
+        a[:, 0] = (a[:, 0] & ~np.uint64(1)) | (
+            np.asarray(aff_bits, np.uint64) & np.uint64(1)
+        )
     pof = np.full(cols, -1, dtype=np.int32)
     used = np.zeros(rows, dtype=np.uint8)
     L.gf2_rref(
@@ -137,17 +145,27 @@ def enumerate_native(
     return out
 
 
-def solve_native(eqs: np.ndarray, cols: int, mode: int):
+def solve_native(eqs: np.ndarray, cols: int, mode: int,
+                 aff_bits: np.ndarray | None = None,
+                 basis_cache: dict | None = None):
     """m4ri_solve-shaped entry on the native engine (solver.py contract).
 
     mode 0 runs the trailing update (~2x faster) and verifies the candidate
     origin against the ORIGINAL system by row parity (exactly the TPU
     fused-path contract); mode 1 needs the free columns and does the full
-    update."""
+    update.
+
+    ``aff_bits``: per-instance affine bits replacing bit 0 of each row (see
+    rref_native) — the verification then checks against the replaced column.
+    ``basis_cache``: caller-held dict; the mode-1 kernel basis depends only
+    on the coefficient columns (never on the affine column), so repeated
+    solves of one cached structure build it once (ops/lazy_solve.py)."""
     from ..core import packing
     from ..ops import extract
 
-    rref, pof, inconsistent = rref_native(eqs, cols, trailing=(mode == 0))
+    rref, pof, inconsistent = rref_native(
+        eqs, cols, trailing=(mode == 0), aff_bits=aff_bits
+    )
     if inconsistent:
         return None
     pivot_cols = np.nonzero(pof >= 0)[0].astype(np.int64) + 1
@@ -157,9 +175,21 @@ def solve_native(eqs: np.ndarray, cols: int, mode: int):
         xfull = packing.int_to_words(
             (packing.words_to_int(origin) << 1) | 1, 1 + cols
         )
-        if packing.parity_rows(eqs & xfull[None, : eqs.shape[1]]).any():
+        par = packing.parity_rows(eqs & xfull[None, : eqs.shape[1]])
+        if aff_bits is not None:
+            # the parity above used the matrix's own bit 0; swap in the
+            # instance column: new_parity = parity ^ old_aff ^ aff
+            par = par ^ (eqs[:, 0] & np.uint64(1)).astype(np.uint8) \
+                ^ (np.asarray(aff_bits, np.uint8) & np.uint8(1))
+        if par.any():
             return None  # unsat (or any engine bug): origin does not satisfy
         return origin
+    if basis_cache is not None:
+        if "basis" not in basis_cache:
+            basis_cache["basis"] = extract.build_basis(
+                pivot_rows, pivot_cols, cols
+            )
+        return origin, basis_cache["basis"]
     return origin, extract.build_basis(pivot_rows, pivot_cols, cols)
 
 

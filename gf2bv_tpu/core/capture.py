@@ -174,10 +174,18 @@ class CapturedTrace:
             # row whose affine bit is set makes that instance unsatisfiable
             lit_one = (affs & ~cs.kept_mask[None, :]).any(axis=1)
             rhs = affs[:, cs.kept]
-            res = multi_rhs.solve_multi_rhs(
-                cs.a_dev, self.system._cols, rhs, mode,
-                basis_cache=basis_cache,
-            )
+            if cs.backend == "native":
+                from .._native import solve_multi_rhs_native
+
+                res = solve_multi_rhs_native(
+                    cs.a_host, self.system._cols, rhs, mode,
+                    basis_cache=basis_cache,
+                )
+            else:
+                res = multi_rhs.solve_multi_rhs(
+                    cs.a_dev, self.system._cols, rhs, mode,
+                    basis_cache=basis_cache,
+                )
             out.extend(
                 None if lit else r for lit, r in zip(lit_one, res)
             )

@@ -37,14 +37,21 @@ from .bitvec import BitVec
 
 
 def _digest(*parts: bytes) -> bytes:
-    h = hashlib.blake2b(digest_size=12)
-    for p in parts:
-        h.update(p)
-    return h.digest()
+    return hashlib.blake2b(b"".join(parts), digest_size=12).digest()
+
+
+# small-int bytes table: widths/shift counts/indices are almost always tiny,
+# and int.to_bytes is ~1.2us while a tuple index is ~0.1us — node recording
+# is a pure-Python hot loop (~174k Expr constructions for the NLFSR trace)
+_IB = tuple(i.to_bytes(8, "little") for i in range(4096))
+_OPB: dict = {}  # op name -> encoded bytes (encode() is ~0.1us per call)
 
 
 def _ints(*vals: int) -> bytes:
-    return b"".join(v.to_bytes(8, "little", signed=True) for v in vals)
+    return b"".join(
+        _IB[v] if 0 <= v < 4096 else v.to_bytes(8, "little", signed=True)
+        for v in vals
+    )
 
 
 def _bigint(v: int) -> bytes:
@@ -127,9 +134,19 @@ class Expr:
         self.aux = aux
         self.width = width
         self.nbits = nbits
-        self.shash = _digest(
-            op.encode(), _ints(width), hash_aux, *(a.shash for a in args)
-        )
+        # one blake2b over the pre-joined message == the digest of the same
+        # parts fed via update() (concatenation either way), but ~1.6x
+        # faster — this constructor dominates trace-recording time
+        opb = _OPB.get(op)
+        if opb is None:
+            opb = _OPB[op] = op.encode()
+        self.shash = hashlib.blake2b(
+            opb
+            + (_IB[width] if 0 <= width < 4096 else _ints(width))
+            + hash_aux
+            + b"".join(a.shash for a in args),
+            digest_size=12,
+        ).digest()
         if op == "xorc":
             self.aff0 = (
                 not isinstance(aux, Param)
@@ -143,6 +160,8 @@ class Expr:
             self.aff0 = args[0].aff0 and aux == 0
         elif op == "leaf":
             self.aff0 = not bool(np.any(aux.rows[:, 0] & np.uint64(1)))
+        elif len(args) == 1:  # the common case, sans generator overhead
+            self.aff0 = args[0].aff0
         else:
             self.aff0 = all(a.aff0 for a in args)
 
@@ -607,12 +626,20 @@ class LazyBitVec(BitVec):
     # -- recorded ops (semantics identical to the eager BitVec) -------------
 
     def _node(self, op, args, aux, width, hash_aux) -> "LazyBitVec":
-        nbits = max(a.nbits for a in args) if args else self.nbits
+        if len(args) == 1:
+            nbits = args[0].nbits
+        elif args:
+            nbits = max(a.nbits for a in args)
+        else:
+            nbits = self.nbits
         return LazyBitVec(Expr(op, args, aux, width, nbits, hash_aux))
 
     def _unary(self, op, aux, width, hash_aux=None):
         if hash_aux is None:
-            hash_aux = _ints(aux) if isinstance(aux, int) else _ints(*aux)
+            if type(aux) is int:
+                hash_aux = _IB[aux] if 0 <= aux < 4096 else _ints(aux)
+            else:
+                hash_aux = _ints(*aux)
         return self._node(op, (self._expr,), aux, width, hash_aux)
 
     @staticmethod

@@ -40,8 +40,8 @@ _CACHE: "OrderedDict[bytes, _CachedSystem]" = OrderedDict()
 
 class _CachedSystem:
     __slots__ = (
-        "a_dev", "kept", "kept_mask", "struct_aff", "widths",
-        "rows_padded", "backend", "phase1", "phase2",
+        "a_dev", "a_host", "kept", "kept_mask", "struct_aff", "widths",
+        "rows_padded", "backend", "phase1", "phase2", "basis_cache",
     )
 
 
@@ -55,7 +55,7 @@ def eligible(system, zeros) -> bool:
     return (
         bool(zeros)
         and all(isinstance(z, LazyBitVec) for z in zeros)
-        and _backend_for(system) in ("blocked", "jax")
+        and _backend_for(system) in ("blocked", "jax", "native")
     )
 
 
@@ -82,13 +82,24 @@ def _build(system, exprs, key) -> _CachedSystem:
     cs.kept = np.flatnonzero(cs.kept_mask)
 
     eqs = stacked[cs.kept]  # struct affine bits stay in the matrix
-    if cs.backend == "blocked":
+    if cs.backend == "native":
+        # host C engine: cache the stacked uint64 matrix as-is; each solve
+        # swaps only the affine column (rref_native's aff_bits) and the
+        # mode-1 kernel basis is affine-independent, so it is built once
+        cs.a_host = np.ascontiguousarray(eqs)
+        cs.basis_cache = {}
+        cs.rows_padded = eqs.shape[0]
+        cs.a_dev = cs.phase1 = cs.phase2 = None
+    elif cs.backend == "blocked":
         a32 = _pad(eqs, K_PANEL, word_align=128)
+        cs.rows_padded = a32.shape[0]
+        cs.phase1, cs.phase2 = _pick_engines(a32.shape[1])
+        cs.a_dev = jnp.asarray(np.ascontiguousarray(a32))
     else:
         a32 = _pad_rows(packing.to_u32(eqs), system._cols)
-    cs.rows_padded = a32.shape[0]
-    cs.phase1, cs.phase2 = _pick_engines(a32.shape[1])
-    cs.a_dev = jnp.asarray(np.ascontiguousarray(a32))
+        cs.rows_padded = a32.shape[0]
+        cs.phase1, cs.phase2 = _pick_engines(a32.shape[1])
+        cs.a_dev = jnp.asarray(np.ascontiguousarray(a32))
 
     _CACHE[key] = cs
     while len(_CACHE) > _MAX_CACHED:
@@ -173,6 +184,20 @@ def solve_lazy(system, zeros, mode: int, env=None):
     # literal 1 -> unsatisfiable before any device work (ref :231-233)
     if np.any(aff & ~cs.kept_mask):
         return None
+
+    if cs.backend == "native":
+        from .._native import solve_native
+
+        res = solve_native(
+            cs.a_host, cols, mode, aff_bits=aff[cs.kept],
+            basis_cache=cs.basis_cache,
+        )
+        if res is None:
+            return None
+        if mode == 0:
+            return packing.words_to_int(res)
+        return AffineSpace(res[0], res[1], cols)
+
     delta = (aff[cs.kept] ^ cs.struct_aff[cs.kept]).astype(np.uint32)
     if delta.shape[0] < cs.rows_padded:
         delta = np.pad(delta, (0, cs.rows_padded - delta.shape[0]))

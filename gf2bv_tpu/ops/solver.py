@@ -11,8 +11,13 @@ Backends:
 * ``blocked`` — panel-blocked elimination (TPU, large systems), gauss_blocked.py
 * ``oracle``  — slow host numpy reference, gauss_ref.py
 
-``auto`` (or None) picks blocked for large systems, jax otherwise; unknown
-backend names raise instead of silently running the wrong engine.
+``auto`` (or None) picks blocked for large systems, jax otherwise — unless
+the process is pinned to the host CPU (no accelerator), where the native C
+engine beats the XLA-CPU emulation of the TPU kernels by 1-2 orders of
+magnitude and is picked instead (opt out: GF2BV_TPU_CPU_NATIVE=0, which the
+test suite sets so the TPU code paths stay covered on the virtual-device
+mesh).  Unknown backend names raise instead of silently running the wrong
+engine.
 """
 
 from __future__ import annotations
@@ -32,9 +37,38 @@ _BLOCKED_THRESHOLD = 1024
 _BACKENDS = ("jax", "blocked", "native", "oracle")
 
 
+def _cpu_pinned() -> bool:
+    """True iff JAX is known to run on the host CPU, decided WITHOUT
+    initializing a backend (probing an unreachable accelerator can hang;
+    ``import gf2bv_tpu`` and backend resolution must never do that)."""
+    import jax
+
+    if jax.config.jax_platforms == "cpu":
+        return True
+    try:  # already-initialized backend: free to inspect
+        from jax._src import xla_bridge
+
+        db = xla_bridge._default_backend
+        return db is not None and db.platform == "cpu"
+    except Exception:
+        return False
+
+
+def _cpu_prefers_native() -> bool:
+    if os.environ.get("GF2BV_TPU_CPU_NATIVE", "1") == "0":
+        return False
+    if not _cpu_pinned():
+        return False
+    from .. import _native
+
+    return _native.available()
+
+
 def _resolve_backend(backend: str | None, cols: int) -> str:
     b = backend or os.environ.get("GF2BV_TPU_BACKEND")
     if not b or b == "auto":
+        if _cpu_prefers_native():
+            return "native"
         return "blocked" if cols >= _BLOCKED_THRESHOLD else "jax"
     if b not in _BACKENDS:
         raise ValueError(

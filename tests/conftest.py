@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# the suite's job is to exercise the TPU code paths on the virtual mesh, so
+# keep auto-routing on blocked/jax here; the CPU->native preference has its
+# own dedicated tests (test_cpu_native_routing.py)
+os.environ.setdefault("GF2BV_TPU_CPU_NATIVE", "0")
 
 # The machine's site hook pins JAX_PLATFORMS to the TPU tunnel plugin and
 # ignores the env override, so force the platform through jax.config too.
