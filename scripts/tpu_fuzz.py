@@ -212,6 +212,59 @@ def fuzz_lazy(n=20, seed=0x1A2B):
     print(f"TPU fuzz [lazy public API]: {n} instances OK")
 
 
+def fuzz_native_route(n=16, seed=0x4A7E):
+    """The CPU-native lazy route (ops/lazy_solve native branch: cached host
+    matrix + per-solve affine-column swap + affine-independent mode-1 basis
+    built once) vs the numpy oracle over random op chains, both modes,
+    plus the captured-trace multi-RHS native batch vs per-instance solves."""
+    from gf2bv_tpu import LinearSystem, _native
+    from gf2bv_tpu.ops import lazy_solve
+
+    if not _native.available():
+        print("native engine unavailable; skipping", file=sys.stderr)
+        return
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        cols = 72 if i % 2 else 1280
+        lin = LinearSystem([cols], backend="native")
+        op_seed = int(rng.integers(0, 2**31))
+        lazy_zeros = _random_lazy_model(
+            np.random.default_rng(op_seed), lin, lazy=True
+        )
+        eager_zeros = _random_lazy_model(
+            np.random.default_rng(op_seed), lin, lazy=False
+        )
+        eqs = lin.get_eqs_packed(eager_zeros)
+        assert lazy_solve.eligible(lin, lazy_zeros), f"[native {i}] route"
+        ref = solve_oracle(eqs, cols)
+        got0 = lin.solve_raw_one(lazy_zeros)
+        got1 = lin.solve_raw_space(lazy_zeros)
+        _check(f"native:{i}", ref, got0, got1)
+        # a second mode-1 solve serves the CACHED basis — must be identical
+        got1b = lin.solve_raw_space(lazy_zeros)
+        if got1 is not None:
+            assert got1b.origin == got1.origin, f"[native {i}] re-origin"
+            assert got1b.basis == got1.basis, f"[native {i}] re-basis"
+        print(f"[native {i}] cols={cols} OK", file=sys.stderr)
+
+    # captured multi-RHS on the host engine vs per-instance native solves
+    lin = LinearSystem([64], backend="native")
+    tmpl = lin.capture(
+        lambda gens, p: [
+            (gens[0] ^ gens[0].rotl(11) ^ (gens[0] >> 3)) ^ p[0],
+            (gens[0] ^ (gens[0] << 9)[:64]) ^ p[1],
+        ]
+    )
+    batch = [
+        [int(rng.integers(0, 1 << 63)), int(rng.integers(0, 1 << 63))]
+        for _ in range(17)
+    ]
+    got = tmpl.solve_raw_batch(batch, mode=0)
+    want = [tmpl.solve_raw_one(v) for v in batch]
+    assert got == want, "[native] captured batch"
+    print(f"TPU fuzz [native lazy route]: {n} instances OK")
+
+
 def fuzz_quad(n=16, seed=0x9D0F):
     """Round-2 quadratic device paths on the real chip: (a) on-device
     monomial expansion (ops/quad_device) vs the host mul_bits build, and
@@ -497,3 +550,4 @@ if __name__ == "__main__":
     fuzz_multi_rhs_multitile(2, seed=seed ^ 0x88)
     fuzz_sweep(max(6, n // 4), seed=seed ^ 0x99)
     fuzz_captured_sweep(max(3, n // 6), seed=seed ^ 0xAA)
+    fuzz_native_route(max(8, n // 3), seed=seed ^ 0xBB)

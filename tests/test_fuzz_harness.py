@@ -40,3 +40,7 @@ def test_fuzz_capture_mini():
 
 def test_fuzz_multi_rhs_mini():
     tpu_fuzz.fuzz_multi_rhs(n=1, seed=0x3B51)
+
+
+def test_fuzz_native_route_mini():
+    tpu_fuzz.fuzz_native_route(n=4, seed=0x4A7E)
