@@ -361,33 +361,40 @@ def _native_fallback_detail() -> dict:
         # of the TPU multi-RHS path; rate is per core).  Real instances:
         # only the affine column varies across instances (lazy-engine
         # invariant), so instance k's column = matrix's own column with
-        # instance 0's output bits swapped for instance k's.
-        def outbits(o):
-            a = np.zeros(eqs.shape[0], np.uint8)
-            w = np.asarray(o, np.uint32)
-            b = ((w[:, None] >> np.arange(32)[None, :]) & 1).astype(np.uint8)
-            a[: b.size] = b.reshape(-1)
-            return a
+        # instance 0's output bits swapped for instance k's.  Own try:
+        # a failure here must not discard the solve_one numbers above.
+        try:
+            def outbits(o):
+                a = np.zeros(eqs.shape[0], np.uint8)
+                w = np.asarray(o, np.uint32)
+                b = ((w[:, None] >> np.arange(32)[None, :]) & 1).astype(
+                    np.uint8
+                )
+                a[: b.size] = b.reshape(-1)
+                return a
 
-        eqs_aff = (eqs[:, 0] & np.uint64(1)).astype(np.uint8)
-        base = outbits(out)
-        states, rhs_rows = [], []
-        for k in range(256):
-            r = random.Random(10_000 + k)
-            states.append(tuple(r.getstate()[1][:-1]))
-            o_k = [r.getrandbits(32) for _ in range(624)]
-            rhs_rows.append(eqs_aff ^ base ^ outbits(o_k))
-        rhs = np.stack(rhs_rows)
-        t0 = time.perf_counter()
-        res = _native.solve_multi_rhs_native(eqs, 19968, rhs, 0)
-        dt = time.perf_counter() - t0
-        ok_b = all(
-            r is not None
-            and tuple((r >> (32 * i)) & 0xFFFFFFFF for i in range(624)) == s
-            for r, s in zip(res[:4], states[:4])
-        ) and all(r is not None for r in res)
-        det["native_cpu_multi_rhs_b256_per_s"] = round(256 / dt, 1)
-        det["native_cpu_multi_rhs_verified"] = bool(ok_b)
+            eqs_aff = (eqs[:, 0] & np.uint64(1)).astype(np.uint8)
+            base = outbits(out)
+            states, rhs_rows = [], []
+            for k in range(256):
+                r = random.Random(10_000 + k)
+                states.append(tuple(r.getstate()[1][:-1]))
+                o_k = [r.getrandbits(32) for _ in range(624)]
+                rhs_rows.append(eqs_aff ^ base ^ outbits(o_k))
+            rhs = np.stack(rhs_rows)
+            t0 = time.perf_counter()
+            res = _native.solve_multi_rhs_native(eqs, 19968, rhs, 0)
+            dt = time.perf_counter() - t0
+            ok_b = all(  # verify EVERY recovered state (costs ~ms)
+                r is not None
+                and tuple((r >> (32 * i)) & 0xFFFFFFFF for i in range(624))
+                == s
+                for r, s in zip(res, states)
+            )
+            det["native_cpu_multi_rhs_b256_per_s"] = round(256 / dt, 1)
+            det["native_cpu_multi_rhs_verified"] = bool(ok_b)
+        except Exception as e:
+            det["native_cpu_multi_rhs"] = f"failed: {type(e).__name__}: {e}"
         return det
     except Exception as e:  # the fallback must never take down the record
         return {"native_cpu": f"failed: {type(e).__name__}: {e}"}

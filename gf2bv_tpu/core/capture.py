@@ -166,7 +166,12 @@ class CapturedTrace:
         cs = lazy_solve.cached_system(self.system, self.zeros)
         exprs = [z._expr for z in self.zeros]
         out = []
-        basis_cache: dict = {}  # mode-1 basis is chunk-invariant
+        # mode-1 basis is chunk-invariant; the native route also shares the
+        # STRUCTURE-level cache with single solves (same affine-independent
+        # kernel, built once per cached structure)
+        basis_cache: dict = (
+            cs.basis_cache if cs.backend == "native" else {}
+        )
         for c0 in range(0, len(values_batch), multi_rhs.MAX_RHS):
             chunk = values_batch[c0 : c0 + multi_rhs.MAX_RHS]
             affs = self._affine_matrix(exprs, cs.widths, chunk)

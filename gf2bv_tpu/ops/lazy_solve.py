@@ -90,13 +90,11 @@ def _build(system, exprs, key) -> _CachedSystem:
         cs.basis_cache = {}
         cs.rows_padded = eqs.shape[0]
         cs.a_dev = cs.phase1 = cs.phase2 = None
-    elif cs.backend == "blocked":
-        a32 = _pad(eqs, K_PANEL, word_align=128)
-        cs.rows_padded = a32.shape[0]
-        cs.phase1, cs.phase2 = _pick_engines(a32.shape[1])
-        cs.a_dev = jnp.asarray(np.ascontiguousarray(a32))
     else:
-        a32 = _pad_rows(packing.to_u32(eqs), system._cols)
+        if cs.backend == "blocked":
+            a32 = _pad(eqs, K_PANEL, word_align=128)
+        else:
+            a32 = _pad_rows(packing.to_u32(eqs), system._cols)
         cs.rows_padded = a32.shape[0]
         cs.phase1, cs.phase2 = _pick_engines(a32.shape[1])
         cs.a_dev = jnp.asarray(np.ascontiguousarray(a32))

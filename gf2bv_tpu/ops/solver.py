@@ -38,18 +38,30 @@ _BACKENDS = ("jax", "blocked", "native", "oracle")
 
 
 def _cpu_pinned() -> bool:
-    """True iff JAX is known to run on the host CPU, decided WITHOUT
-    initializing a backend (probing an unreachable accelerator can hang;
-    ``import gf2bv_tpu`` and backend resolution must never do that)."""
+    """True iff JAX runs on the host CPU.  Never initializes a backend when
+    an accelerator platform is CONFIGURED (probing an unreachable
+    accelerator can hang; ``import gf2bv_tpu`` and backend resolution must
+    never do that) — but with platforms unset (auto-detect) and no backend
+    initialized yet, asking jax.default_backend() is safe and is exactly
+    what the imminent solve would do anyway; deciding from its answer keeps
+    routing consistent for the whole process."""
     import jax
 
-    if jax.config.jax_platforms == "cpu":
+    p = jax.config.jax_platforms
+    if p == "cpu":
         return True
-    try:  # already-initialized backend: free to inspect
+    if p:  # an accelerator is explicitly configured: never probe it here
+        return False
+    try:
         from jax._src import xla_bridge
 
         db = xla_bridge._default_backend
-        return db is not None and db.platform == "cpu"
+        if db is not None:
+            return db.platform == "cpu"
+    except Exception:
+        return False
+    try:
+        return jax.default_backend() == "cpu"
     except Exception:
         return False
 

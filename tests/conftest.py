@@ -16,9 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # the suite's job is to exercise the TPU code paths on the virtual mesh, so
-# keep auto-routing on blocked/jax here; the CPU->native preference has its
-# own dedicated tests (test_cpu_native_routing.py)
-os.environ.setdefault("GF2BV_TPU_CPU_NATIVE", "0")
+# force auto-routing onto blocked/jax here (hard assignment, like the
+# platform pin below: an exported =1 must not silently reroute the suite);
+# the CPU->native preference has its own tests (test_cpu_native_routing.py)
+os.environ["GF2BV_TPU_CPU_NATIVE"] = "0"
 
 # The machine's site hook pins JAX_PLATFORMS to the TPU tunnel plugin and
 # ignores the env override, so force the platform through jax.config too.
