@@ -79,6 +79,11 @@ def lib(cols: int | None = None) -> ctypes.CDLL | None:
             L.gf2_inconsistent.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ]
+            L.gf2_verify.restype = ctypes.c_int
+            L.gf2_verify.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             L.gf2_enumerate.restype = None
             L.gf2_enumerate.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -110,8 +115,10 @@ def rref_native(eqs: np.ndarray, cols: int, trailing: bool = False,
     L = lib(cols)
     assert L is not None, "native backend unavailable (no gcc?)"
     rows, w = eqs.shape
-    a = np.zeros((rows, w + 1), dtype=np.uint64)  # +1 pad word for strip8
+    a = np.empty((rows, w + 1), dtype=np.uint64)  # +1 pad word for strip8
     a[:, :w] = eqs
+    a[:, w] = 0  # only the pad column needs zeroing (np.zeros pays a
+    # full-matrix clear, ~15 ms at flagship shape)
     if aff_bits is not None:
         a[:, 0] = (a[:, 0] & ~np.uint64(1)) | (
             np.asarray(aff_bits, np.uint64) & np.uint64(1)
@@ -175,13 +182,19 @@ def solve_native(eqs: np.ndarray, cols: int, mode: int,
         xfull = packing.int_to_words(
             (packing.words_to_int(origin) << 1) | 1, 1 + cols
         )
-        par = packing.parity_rows(eqs & xfull[None, : eqs.shape[1]])
-        if aff_bits is not None:
-            # the parity above used the matrix's own bit 0; swap in the
-            # instance column: new_parity = parity ^ old_aff ^ aff
-            par = par ^ (eqs[:, 0] & np.uint64(1)).astype(np.uint8) \
-                ^ (np.asarray(aff_bits, np.uint8) & np.uint8(1))
-        if par.any():
+        eqs = np.ascontiguousarray(eqs)
+        xfull = np.ascontiguousarray(xfull[: eqs.shape[1]])
+        affp = (
+            np.ascontiguousarray(aff_bits, np.uint8)
+            if aff_bits is not None else None
+        )
+        L2 = lib(cols)
+        ok = L2.gf2_verify(
+            eqs.ctypes.data, eqs.shape[0], eqs.shape[1], xfull.shape[0],
+            xfull.ctypes.data,
+            affp.ctypes.data if affp is not None else None,
+        )
+        if not ok:
             return None  # unsat (or any engine bug): origin does not satisfy
         return origin
     if basis_cache is not None:

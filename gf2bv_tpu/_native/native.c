@@ -91,10 +91,11 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
     for (int64_t c0 = 1; c0 <= cols; c0 += KCOLS) {
         int np = (int)((cols + 1 - c0) < KCOLS ? (cols + 1 - c0) : KCOLS);
 
-        /* strip + coefficient words */
+        /* strip + coefficient words; used (pivot) rows get strip 0 so the
+         * branchless per-pivot passes below never select or touch them */
 #pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < rows; i++) {
-            strip[i] = stripk(&a[i * w_alloc], c0, np);
+            strip[i] = used[i] ? 0 : stripk(&a[i * w_alloc], c0, np);
             coef[i] = 0;
         }
         memset(pf, 0, KCOLS * (size_t)w_alloc * 8);
@@ -108,7 +109,7 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
             int64_t piv = -1;
             while (first_free < rows && used[first_free]) first_free++;
             for (int64_t i = first_free; i < rows; i++) {
-                if (!used[i] && ((strip[i] >> jj) & 1)) { piv = i; break; }
+                if ((strip[i] >> jj) & 1) { piv = i; break; }
             }
             if (piv < 0) continue;
             prow[jj] = (int32_t)piv;
@@ -127,15 +128,21 @@ int64_t gf2_rref(uint64_t *a, int64_t rows, int64_t w_alloc, int64_t cols,
                 }
             }
             borig_piv[jj] = stripk(&a[(size_t)piv * w_alloc], c0, np);
-            /* eliminate remaining candidates within the strip (rows below
-             * first_free are all used — skip the dense prefix) */
+            /* eliminate remaining candidates within the strip — branchless
+             * mask form so the compiler vectorizes it (this per-pivot pass
+             * is ~panels*K*rows word ops, the phase-1 hot loop); the pivot
+             * row is retired by zeroing its strip word first */
             uint64_t bpiv = strip[piv];
-#pragma omp parallel for schedule(static)
+            uint64_t cbit = (uint64_t)1 << jj;
+            strip[piv] = 0;
+            /* simd, not parallel-for: the per-pivot region is ~10k word
+             * ops — thread fork/join overhead (64 regions per panel)
+             * exceeds the work; SIMD lanes are the right parallelism */
+#pragma omp simd
             for (int64_t i = first_free; i < rows; i++) {
-                if (!used[i] && ((strip[i] >> jj) & 1)) {
-                    strip[i] ^= bpiv;
-                    coef[i] ^= (uint64_t)1 << jj;
-                }
+                uint64_t m = (uint64_t)0 - ((strip[i] >> jj) & 1);
+                strip[i] ^= bpiv & m;
+                coef[i] ^= cbit & m;
             }
         }
 
@@ -278,6 +285,30 @@ int gf2_inconsistent(const uint64_t *a, int64_t rows, int64_t w_alloc,
     }
     return bad;
 }
+
+/* Does x (packed over nw words, bit 0 = the constant 1) satisfy every row?
+ * Row parity of (row & x) must be 0 for all rows; returns 1 on success.
+ * ``aff`` (nullable, rows bytes) REPLACES each row's own bit 0 — the
+ * lazy-route affine-column swap (x bit 0 must be set); the correction is
+ * parity ^ own_bit0 ^ aff.  The C twin of the mode-0 verification
+ * (solve_native): hardware parity beats the numpy lookup-table
+ * popcount by ~6x at flagship width. */
+int gf2_verify(const uint64_t *a, int64_t rows, int64_t w_alloc, int64_t nw,
+               const uint64_t *x, const uint8_t *aff) {
+    int bad = 0;
+#pragma omp parallel for schedule(static) reduction(|| : bad)
+    for (int64_t i = 0; i < rows; i++) {
+        const uint64_t *row = &a[(size_t)i * w_alloc];
+        uint64_t p = 0;
+        for (int64_t w = 0; w < nw; w++)
+            p ^= row[w] & x[w];
+        p = __builtin_parityll(p);
+        if (aff) p ^= (row[0] ^ (uint64_t)aff[i]) & 1;
+        if (p) bad = 1;
+    }
+    return !bad;
+}
+
 
 /* Batched affine-space enumeration: fill out[k] = origin ^ combo(basis,
  * bits(order(start+k))) for k < count, gray order optional. */
