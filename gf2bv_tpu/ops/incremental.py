@@ -25,6 +25,14 @@ that equality, which is what makes the fast path trustworthy.
 
 All state (matrix, pivot maps) stays on device between adds; only the new
 equations cross the host boundary.
+
+Why there is no host/native twin (considered, rejected round 4): reducing
+B new rows against a dense rank-R RREF streams the whole ~R*nw matrix per
+new row (or rebuilds per-panel XOR tables, which costs the same as a bulk
+elimination pass), so at flagship scale an incremental host add costs
+about as much as the native engine's 0.3 s from-scratch solve.  The
+incremental win is amortizing per-solve dispatch/compile/readback
+overhead — which exists on the device path and not on the host one.
 """
 
 from __future__ import annotations

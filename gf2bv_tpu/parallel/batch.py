@@ -133,6 +133,27 @@ def solve_batch_systems(system, zeros_batch, mode: int = 0, mesh=None):
     applies when converting via ``system.convert_sol``.
     """
     cols = system._cols
+
+    from ..ops import solver as _solver
+
+    resolved = _solver._resolve_backend(system._backend, cols)
+    if mesh is None and resolved in ("native", "oracle"):
+        # host engines: a per-system loop IS the fast path — there is no
+        # dispatch/compile overhead to amortize with a stacked program
+        # (the batch axis exists for device throughput); an explicit mesh
+        # still routes to the device sharding below
+        out = []
+        for zeros in zeros_batch:
+            eqs = system.get_eqs_packed(zeros)
+            lit_one = (eqs[:, 0] == 1) & ~eqs[:, 1:].any(axis=1)
+            if lit_one.any():
+                out.append(None)
+                continue
+            eqs = eqs[eqs.any(axis=1)]
+            raw = _solver.solve(eqs, cols, mode, backend=resolved)
+            out.append(raw)
+        return out
+
     mats, unsat = [], []
     for zeros in zeros_batch:
         eqs = system.get_eqs_packed(zeros)

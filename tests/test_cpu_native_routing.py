@@ -117,6 +117,34 @@ def test_captured_native_batch(cpu_native):
         assert sp is not None and sp.origin == r  # full-rank: origin == sol
 
 
+def test_batch_systems_host_route(cpu_native):
+    # solve_batch_systems loops host engines per system (no stacked device
+    # program); results must match the device-vmapped route bit-for-bit
+    from gf2bv_tpu.parallel.batch import solve_batch_systems
+
+    def zeros_batch(S):
+        x, = S.gens()
+        return [
+            [(x ^ (x >> 3) ^ (x << 7)) ^ (0xA5A5 + 17 * k)] for k in range(5)
+        ] + [[(x ^ x) ^ 1]]  # literal-1 instance -> None
+
+    s_nat = LinearSystem([48])
+    s_jax = LinearSystem([48], backend="jax")
+    for mode in (0, 1):
+        got = solve_batch_systems(s_nat, zeros_batch(s_nat), mode=mode)
+        want = solve_batch_systems(s_jax, zeros_batch(s_jax), mode=mode)
+        assert got[-1] is None and want[-1] is None
+        assert any(g is not None for g in got[:-1])
+        for g, w in zip(got[:-1], want[:-1]):
+            assert (g is None) == (w is None)
+            if g is None:
+                continue
+            if mode == 0:
+                assert g == w
+            else:
+                assert g.origin == w.origin and g.basis == w.basis
+
+
 def test_quad_lazy_native_matches_blocked(cpu_native):
     # recover 6 secret bits from their pairwise products + a linear row
     # (the test_quadratic.py small-solve shape, driven through the lazy
