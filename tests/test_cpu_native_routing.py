@@ -169,6 +169,26 @@ def test_quad_lazy_native_matches_blocked(cpu_native):
     assert sol_nat == sol_jax == (secret,)
 
 
+def test_mt19937_full_flagship_native(cpu_native):
+    """The FULL 19968-variable flagship recovery in CI: the native route
+    makes it seconds on one CPU core, where the XLA-CPU emulation needs
+    minutes (the device twin stays @slow for real hardware / bench.py)."""
+    import random
+
+    from gf2bv_tpu.crypto.mt import MT19937
+
+    rand = random.Random(3142)
+    st = tuple(rand.getstate()[1][:-1])
+    out = [rand.getrandbits(32) for _ in range(624)]
+
+    lin = LinearSystem([32] * 624)
+    mt = lin.gens()
+    rng = MT19937(list(mt))
+    zeros = [rng.getrandbits(32) ^ o for o in out] + [mt[0] ^ 0x80000000]
+    sol = lin.solve_one(zeros)
+    assert sol == st
+
+
 def test_solve_native_aff_bits_semantics():
     rng = np.random.default_rng(7)
     rows, cols = 40, 30
