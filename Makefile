@@ -1,4 +1,4 @@
-.PHONY: test native bench bench-scaling verify clean
+.PHONY: test native bench bench-scaling verify soak clean
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,10 @@ bench:
 
 bench-scaling:
 	python bench_scaling.py
+
+# differential fuzz soak, all families, CPU virtual mesh (scale with SOAK=N)
+soak:
+	python scripts/cpu_soak.py $(or $(SOAK),1)
 
 # full local verification: suite + driver entry points + smoke examples
 verify: test

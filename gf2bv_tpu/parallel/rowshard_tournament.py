@@ -5,21 +5,31 @@ latency-bound collectives per PIVOT (pmin election + psum row broadcast) —
 ~2K collective rounds per panel dominate a pod-scale solve.  This module
 reduces communication to one ``all_gather`` per PANEL:
 
-1. every shard runs the single-chip panel phase 1 on its local row block
-   (ops/pallas_phase1.phase1_panel_split — a pure-local kernel), producing
-   up to K full-width local pivot rows for the panel columns;
-2. the K-row candidate panels are all-gathered (K·wp words, one round);
-3. every shard runs the SAME phase-1 kernel again on the replicated
-   (N·K, wp) stacked candidates, yielding the merged panel pivot rows;
+1. every shard runs the panel phase-1 SCAN on its local row block
+   (ops/pallas_phase1 scan kernel — a pure-local kernel), electing up to
+   K local rows whose strip span covers the shard's panel columns;
+2. the K elected rows are all-gathered RAW — un-eliminated, straight out
+   of the local block (K·wp words, one round);
+3. every shard runs the full phase-1 kernel on the replicated (N·K, wp)
+   stacked rows, yielding the merged panel pivot rows;
 4. the rank-K bulk update is entirely local, exactly as in
    rowshard_blocked.
 
-Exactness: the gathered candidates are full-width row-space combinations,
-so the merged RREF rows are row-space vectors with identity on the panel's
-pivot columns and zeros on all earlier pivot columns — the final matrix is
-the unique global RREF, bit-identical to the single-chip solver (tested).
-Candidate spans are preserved by local elimination, so no pivot can be
-missed: rank(union of local candidate spans) = rank of the panel globally.
+Exactness: the local scan's in-strip elimination is an invertible
+transform among the elected rows, so the RAW elected rows span the same
+panel-strip space as the locally-reduced candidates — no pivot can be
+missed (rank of the gathered union = global panel rank).  Gathering RAW
+rows (not local combinations) is what makes the bulk update's
+diagonal-flip replacement exact: the merged pivot rows are combinations
+of ELECTED stacked rows only, so the owner's original row reduces to its
+merged pf row through its own original strip selector — the single-chip
+algebra verbatim.  (Round-4 bug, caught by fuzzing: gathering the
+locally-ELIMINATED candidates breaks that identity whenever a local
+combination involves a slot that loses the merged election — the raw row
+then sits outside span(merged pf), the replaced row keeps a nonzero
+residual, and the matrix silently drops rank; underdetermined systems
+at ~2000 cols lost pivots.  Bit-exactness vs the oracle over random
+underdetermined shapes now guards this.)
 
 Communication per panel: one all_gather of K·wp words (+ 2K small ids)
 versus 2K scalar/row collectives — the collective-latency term drops from
@@ -61,7 +71,7 @@ def _build(
     interpret: bool,
     fused_origin: bool = False,
 ):
-    from ..ops.pallas_phase1 import phase1_panel_split
+    from ..ops.pallas_phase1 import _call_scan_kernel, phase1_panel_split
 
     K = k_panel
     kw = K // 32
@@ -82,17 +92,25 @@ def _build(
             w0 = t * kw
             b_orig = lax.dynamic_slice(a, (0, w0), (rloc, kw))
 
-            # 1) local phase 1: candidate pivot rows for the panel columns
-            pf_l, prow_l, _ = phase1_panel_split(
-                a, b_orig.T, used.astype(jnp.int32)[None, :], w0, K, cols,
-                interpret=interpret,
+            # 1) local phase 1 SCAN only: elect up to K local rows spanning
+            # the shard's panel-strip space (no local reconstruction — the
+            # merged stage below does ALL reduction; see module docstring
+            # for why the RAW rows must be the ones gathered)
+            w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
+            prow_l, _, _ = _call_scan_kernel(
+                b_orig.T, used.astype(jnp.int32)[None, :], w0_arr, K, cols,
+                interpret,
+            )
+            valid_l = prow_l >= 0
+            raw_l = jnp.where(
+                valid_l[:, None], a[jnp.maximum(prow_l, 0)], jnp.uint32(0)
             )
 
-            # 2) ONE collective round: gather candidates + their global ids
-            # together (a pytree all_gather; XLA's collective combiner merges
-            # the two gathers into one round on the wire)
+            # 2) ONE collective round: gather the raw elected rows + their
+            # global ids together (a pytree all_gather; XLA's collective
+            # combiner merges the two gathers into one round on the wire)
             stacked, grow = lax.all_gather(
-                (pf_l, jnp.where(prow_l >= 0, prow_l + offset, -1)),
+                (raw_l, jnp.where(valid_l, prow_l + offset, -1)),
                 meshlib.ROWS_AXIS,
             )
             stacked = stacked.reshape(naxis * K, wp)

@@ -91,3 +91,29 @@ def test_tournament_fused_mode0(mesh_rows, deficit, unsat):
         assert got is None
     else:
         assert packing.words_to_int(got) == want
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+def test_tournament_underdetermined_multishard_pivots(mesh_rows, mode):
+    """Round-4 regression: gathering locally-ELIMINATED candidates (instead
+    of the raw elected rows) silently dropped matrix rank whenever a local
+    elimination combo involved a slot that lost the merged election —
+    underdetermined systems around 2000 cols lost pivots and mode 0
+    reported false unsat.  Pin an affected shape (rows < cols, multiple
+    panels, pivots owned across all 8 shards)."""
+    rng = np.random.default_rng(11)
+    cols, rows = 1700, 1636
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    rhs = (coeff @ secret) % 2
+    eqs = packing.pack_bits(
+        np.concatenate([rhs[:, None], coeff], axis=1), 1 + cols
+    )
+    want = solver.solve(eqs, cols, mode, backend="oracle")
+    got = solve_rowsharded_tournament(eqs, cols, mode, mesh_rows)
+    assert want is not None and got is not None
+    if mode == 0:
+        assert packing.words_to_int(got) == want
+    else:
+        assert packing.words_to_int(got[0]) == want.origin
+        assert packing.rows_to_ints(got[1]) == list(want.basis)
