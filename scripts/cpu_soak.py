@@ -43,6 +43,7 @@ def main(scale: int = 1, seed: int = 0x5A4B) -> None:
     m.fuzz_sweep(4 * scale, seed=seed ^ 0x99)
     m.fuzz_captured_sweep(2 * scale, seed=seed ^ 0xAA)
     m.fuzz_native_route(12 * scale, seed=seed ^ 0xBB)
+    m.fuzz_incremental(4 * scale, seed=seed ^ 0xCC)
     print("CPU SOAK COMPLETE")
 
 

@@ -212,6 +212,54 @@ def fuzz_lazy(n=20, seed=0x1A2B):
     print(f"TPU fuzz [lazy public API]: {n} instances OK")
 
 
+def fuzz_incremental(n=6, seed=0x17C4):
+    """IncrementalSolver vs a from-scratch oracle: random base + random add
+    batches (rank-deficient bases, unsat planted mid-stream).  After EVERY
+    add, the maintained device RREF must solve identically to a fresh
+    elimination of all rows so far (RREF uniqueness), and sticky unsat must
+    hold once tripped."""
+    from gf2bv_tpu.ops.incremental import IncrementalSolver
+
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        cols = int(rng.choice([48, 220, 500]))
+        rows = cols + int(rng.integers(10, 60))
+        deficit = int(rng.integers(0, 6)) * int(rng.integers(0, 2))
+        unsat_at = (
+            int(rng.integers(1, rows)) if rng.integers(0, 3) == 0 else -1
+        )
+        free = rng.permutation(cols)[:deficit]
+        coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+        coeff[:, free] = 0
+        secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+        rhs = (coeff @ secret) % 2
+        if unsat_at >= 0:
+            j = int(np.argmax(coeff[: unsat_at + 1].any(axis=1)))
+            coeff[unsat_at] = coeff[j]
+            rhs[unsat_at] = rhs[j] ^ 1
+        pool = packing.pack_bits(
+            np.concatenate([rhs[:, None], coeff], axis=1), 1 + cols
+        )
+
+        k0 = int(rng.integers(1, rows // 2))
+        inc = IncrementalSolver.from_packed(pool[:k0], cols)
+        done = k0
+        step = 0
+        while done < rows:
+            nb = min(int(rng.integers(1, rows // 2 + 1)), rows - done)
+            inc.add_packed(pool[done : done + nb])
+            done += nb
+            ref = solve_oracle(pool[:done], cols)
+            got0 = inc.solve_raw_one()
+            got1 = inc.solve_raw_space()
+            _check(f"inc:{i}:{step}", ref, got0, got1)
+            assert inc.unsat == (not ref.consistent), f"[inc:{i}] unsat flag"
+            step += 1
+        print(f"[inc {i}] cols={cols} rows={rows} steps={step} OK",
+              file=sys.stderr)
+    print(f"TPU fuzz [incremental]: {n} instances OK")
+
+
 def fuzz_native_route(n=16, seed=0x4A7E):
     """The CPU-native lazy route (ops/lazy_solve native branch: cached host
     matrix + per-solve affine-column swap + affine-independent mode-1 basis
@@ -551,3 +599,4 @@ if __name__ == "__main__":
     fuzz_sweep(max(6, n // 4), seed=seed ^ 0x99)
     fuzz_captured_sweep(max(3, n // 6), seed=seed ^ 0xAA)
     fuzz_native_route(max(8, n // 3), seed=seed ^ 0xBB)
+    fuzz_incremental(max(4, n // 5), seed=seed ^ 0xCC)

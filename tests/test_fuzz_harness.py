@@ -44,3 +44,7 @@ def test_fuzz_multi_rhs_mini():
 
 def test_fuzz_native_route_mini():
     tpu_fuzz.fuzz_native_route(n=4, seed=0x4A7E)
+
+
+def test_fuzz_incremental_mini():
+    tpu_fuzz.fuzz_incremental(n=2, seed=0x17C4)
