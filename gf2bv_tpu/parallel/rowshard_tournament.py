@@ -71,7 +71,7 @@ def _build(
     interpret: bool,
     fused_origin: bool = False,
 ):
-    from ..ops.pallas_phase1 import _call_scan_kernel, phase1_panel_split
+    from ..ops.pallas_phase1 import phase1_panel_split, phase1_scan_subset
 
     K = k_panel
     kw = K // 32
@@ -96,9 +96,8 @@ def _build(
             # the shard's panel-strip space (no local reconstruction — the
             # merged stage below does ALL reduction; see module docstring
             # for why the RAW rows must be the ones gathered)
-            w0_arr = jnp.asarray(w0, jnp.int32).reshape(1)
-            prow_l, _, _ = _call_scan_kernel(
-                b_orig.T, used.astype(jnp.int32)[None, :], w0_arr, K, cols,
+            prow_l, _ = phase1_scan_subset(
+                b_orig.T, used.astype(jnp.int32)[None, :], w0, K, cols,
                 interpret,
             )
             valid_l = prow_l >= 0

@@ -17,7 +17,14 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# append-if-missing (conftest pattern): a pre-set XLA_FLAGS must not
+# silently drop the virtual devices — single-device meshes can't reproduce
+# the multi-shard bug class this soak exists to catch
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 os.environ["GF2BV_TPU_CPU_NATIVE"] = "0"
 
 import jax  # noqa: E402
