@@ -65,7 +65,13 @@ def main(n=30, cols=4000, backend="blocked", seed=0xF022):
 
 
 def _random_system(rng, cols):
-    rows = int(rng.integers(cols - 40, cols + 300))
+    # 1-in-4 deeply underdetermined (rows down to cols/2): the round-4
+    # tournament rank-loss bug lived at rows < cols, a region the old
+    # [cols-40, cols+300] range barely grazed
+    if rng.integers(0, 4) == 0:
+        rows = int(rng.integers(cols // 2, max(cols - 40, cols // 2 + 1)))
+    else:
+        rows = int(rng.integers(cols - 40, cols + 300))
     deficit = int(rng.integers(0, 5)) * int(rng.integers(0, 2))
     unsat = bool(rng.integers(0, 4) == 0)
     free = rng.permutation(cols)[:deficit]
