@@ -189,6 +189,36 @@ def test_mt19937_full_flagship_native(cpu_native):
     assert sol == st
 
 
+def test_mt19937_captured_batch_flagship_native(cpu_native):
+    """Flagship SERVING shape in CI: capture the MT19937 template once,
+    recover several full states from ONE host elimination (multi-RHS)."""
+    import random
+
+    from gf2bv_tpu.crypto.mt import MT19937
+
+    lin = LinearSystem([32] * 624)
+
+    def model(gens, p):
+        rng = MT19937(list(gens))
+        zeros = [rng.getrandbits(32) ^ p[k] for k in range(624)]
+        zeros.append(gens[0] ^ 0x80000000)
+        return zeros
+
+    tmpl = lin.capture(model)
+    cs = lazy_solve.cached_system(lin, tmpl.zeros)
+    assert cs.backend == "native"
+
+    states, outs = [], []
+    for seed in (41, 42, 43):
+        r = random.Random(seed)
+        states.append(tuple(r.getstate()[1][:-1]))
+        outs.append([r.getrandbits(32) for _ in range(624)])
+    got = tmpl.solve_raw_batch(outs, mode=0)
+    for g, st in zip(got, states):
+        assert g is not None
+        assert tuple((g >> (32 * i)) & 0xFFFFFFFF for i in range(624)) == st
+
+
 def test_solve_native_aff_bits_semantics():
     rng = np.random.default_rng(7)
     rows, cols = 40, 30
