@@ -52,6 +52,7 @@ def main(scale: int = 1, seed: int = 0x5A4B) -> None:
     m.fuzz_captured_sweep(2 * scale, seed=seed ^ 0xAA)
     m.fuzz_native_route(12 * scale, seed=seed ^ 0xBB)
     m.fuzz_incremental(4 * scale, seed=seed ^ 0xCC)
+    m.fuzz_engines(1 * scale, seed=seed ^ 0xDD)
     print("CPU SOAK COMPLETE")
 
 

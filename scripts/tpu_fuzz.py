@@ -142,12 +142,16 @@ def fuzz_sharded(n=12, cols=2000, seed=0x5AAD):
     for i in range(n):
         eqs = _random_system(rng, cols)
         ref = solve_oracle(eqs, cols)
+        # k_panel varies the panel/merge geometry (the round-4 tournament
+        # rank-loss bug was k_panel-sensitive); keep the set small so the
+        # sweep reuses a handful of compiled kernels
+        kp = int(rng.choice([64, 256]))
         for name, fn in (
             ("blocked", solve_rowsharded_blocked),
             ("tournament", solve_rowsharded_tournament),
         ):
-            got0 = fn(eqs, cols, 0, mesh)
-            got1 = fn(eqs, cols, 1, mesh)
+            got0 = fn(eqs, cols, 0, mesh, k_panel=kp)
+            got1 = fn(eqs, cols, 1, mesh, k_panel=kp)
             g0 = None if got0 is None else packing.words_to_int(got0)
             g1 = (
                 None
@@ -216,6 +220,39 @@ def fuzz_lazy(n=20, seed=0x1A2B):
         _check(f"lazy:{i}", ref, got0, got1)
         print(f"[lazy {i}] cols={cols} OK", file=sys.stderr)
     print(f"TPU fuzz [lazy public API]: {n} instances OK")
+
+
+def fuzz_engines(n=2, seed=0xE491, cols=500):
+    """Opt-in phase-1/phase-2 engine matrix in interpret mode vs the oracle:
+    the Pallas kernels (scan, split reconstruct, MXU variants incl. the
+    round-4 mxu_la look-ahead megakernel) must be bit-exact on every random
+    system BEFORE any hardware flip makes one of them the default."""
+    from gf2bv_tpu.ops.gauss_blocked import solve_blocked
+
+    combos = [
+        ("pallas_scan_interpret", "mxu_interpret"),
+        ("pallas_scan_interpret", "mxu_la_interpret"),
+        ("pallas_interpret", "mxu2_interpret"),
+        ("pallas_scan_interpret", "pallas_interpret"),
+    ]
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        eqs = _random_system(rng, cols)
+        ref = solve_oracle(eqs, cols)
+        for p1, p2 in combos:
+            got0 = solve_blocked(eqs, cols, 0, phase1=p1, phase2=p2)
+            got1r = solve_blocked(eqs, cols, 1, phase1=p1, phase2=p2)
+            g1 = None
+            if got1r is not None:
+                from gf2bv_tpu.core.affine import AffineSpace
+
+                g1 = AffineSpace(got1r[0], got1r[1], cols)
+            g0 = None if got0 is None else packing.words_to_int(
+                got0[0] if isinstance(got0, tuple) else got0
+            )
+            _check(f"eng:{i}:{p1}+{p2}", ref, g0, g1)
+        print(f"[engines {i}] OK", file=sys.stderr)
+    print(f"TPU fuzz [engine matrix cols={cols}]: {n} instances OK")
 
 
 def fuzz_incremental(n=6, seed=0x17C4):

@@ -48,3 +48,7 @@ def test_fuzz_native_route_mini():
 
 def test_fuzz_incremental_mini():
     tpu_fuzz.fuzz_incremental(n=2, seed=0x17C4)
+
+
+def test_fuzz_engines_mini():
+    tpu_fuzz.fuzz_engines(n=1, seed=0xE491)
