@@ -382,9 +382,11 @@ def _native_fallback_detail() -> dict:
                 o_k = [r.getrandbits(32) for _ in range(624)]
                 rhs_rows.append(eqs_aff ^ base ^ outbits(o_k))
             rhs = np.stack(rhs_rows)
-            t0 = time.perf_counter()
-            res = _native.solve_multi_rhs_native(eqs, 19968, rhs, 0)
-            dt = time.perf_counter() - t0
+            dt = float("inf")  # best-of-2: this box has noisy neighbors
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = _native.solve_multi_rhs_native(eqs, 19968, rhs, 0)
+                dt = min(dt, time.perf_counter() - t0)
             ok_b = all(  # verify EVERY recovered state (costs ~ms)
                 r is not None
                 and tuple((r >> (32 * i)) & 0xFFFFFFFF for i in range(624))

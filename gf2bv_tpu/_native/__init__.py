@@ -233,8 +233,11 @@ def solve_multi_rhs_native(eqs: np.ndarray, cols: int, rhs_bits: np.ndarray,
     assert rhs_bits.shape[1] == rows, "one affine bit per row per instance"
     bw = (B + 63) // 64
 
-    a = np.zeros((rows, w + bw + 1), dtype=np.uint64)  # +1 pad word
+    # np.empty + explicit region fills: every word is assigned below, and
+    # zeroing 50 MB first costs ~25 ms at flagship shape
+    a = np.empty((rows, w + bw + 1), dtype=np.uint64)  # +1 pad word
     a[:, :w] = eqs
+    a[:, w + bw] = 0
     a[:, 0] &= ~np.uint64(1)  # inert own-affine column
     # instance k's bit -> word w + (k>>6), bit k&63 (little-endian host);
     # pack in 512-instance chunks so the strided pack stays cache-resident
