@@ -8,6 +8,12 @@ i.e. if a (TR,K)x(K,32) int8 matmul costs ~1/4 of (TR,K)x(K,128).  The
 v5 MXU's output lane dimension is 128 wide, so the expected answer is NO
 (both are one pass through the systolic array); this script measures it.
 
+One panel update is ~0.6 ms device while the tunnel RTT is ~28 ms, so a
+single timed call measures only the tunnel (the first version of this
+script made that mistake).  Each measurement therefore chains N=64
+data-dependent kernel calls inside ONE jit (a <- update(a, sel, pf)) and
+reports (wall - rtt) / N.
+
 A: panel update on a (rows, tw) matrix for tw in {32, 64, 128, 256}:
    cost per word if lanes were free would halve each step down; lane
    quantization predicts flat time below 128.
@@ -15,6 +21,7 @@ B: the real trailing kernel at flagship width (rows, 640) across w0 sweep:
    confirms the whole-tile skip model the round-3 accounting fit.
 """
 
+import functools
 import sys
 import time
 
@@ -22,6 +29,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gf2bv_tpu.utils.cache import enable_persistent_cache
 
@@ -31,6 +39,7 @@ from gf2bv_tpu.ops import pallas_update
 
 ROWS = 20224
 K = 256
+N_CHAIN = 64
 
 
 def log(*a):
@@ -41,13 +50,27 @@ def force(x):
     return np.asarray(x[0, :1])
 
 
-def best_of(fn, n=7):
+def best_of(fn, n=5):
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
     return min(ts), ts
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _chain(a, sel, pf, n):
+    return lax.fori_loop(
+        0, n, lambda i, a: pallas_update.panel_update_mxu(a, sel, pf), a
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _chain_w0(a, sel, pf, w0, n):
+    return lax.fori_loop(
+        0, n, lambda i, a: pallas_update.panel_update_mxu(a, sel, pf, w0=w0), a
+    )
 
 
 def main():
@@ -58,7 +81,12 @@ def main():
                      ).astype(np.uint32)
     )
 
-    log("--- A: lane-width sweep (one word tile, k=256) ---")
+    small = jnp.zeros((8,), jnp.uint32)
+    force(small[None, :])
+    rtt, _ = best_of(lambda: np.asarray(small[:1]), 7)
+    log(f"rtt: {rtt * 1e3:.1f} ms; chain N={N_CHAIN}")
+
+    log("--- A: lane-width sweep (chained word tile, k=256) ---")
     results = {}
     for tw in (32, 64, 128, 256):
         a = jnp.asarray(
@@ -69,14 +97,13 @@ def main():
             rng.integers(0, 1 << 32, size=(K, tw), dtype=np.uint64
                          ).astype(np.uint32)
         )
-        fn = jax.jit(
-            lambda a, sel, pf: pallas_update.panel_update_mxu(a, sel, pf)
-        )
-        force(fn(a, sel, pf))  # warm/compile
-        t, ts = best_of(lambda: force(fn(a, sel, pf)))
-        results[tw] = t
-        log(f"tw={tw:4d}: best {t * 1e3:8.3f} ms of "
-            f"{[round(x * 1e3, 2) for x in ts]}")
+        force(_chain(a, sel, pf, N_CHAIN))  # warm/compile
+        t, ts = best_of(lambda: force(_chain(a, sel, pf, N_CHAIN)))
+        per = (t - rtt) / N_CHAIN
+        results[tw] = per
+        log(f"tw={tw:4d}: per-call {per * 1e3:8.3f} ms "
+            f"(chain best {t * 1e3:.1f} ms of "
+            f"{[round(x * 1e3, 1) for x in ts]})")
     r = results
     log(f"t(32)/t(128) = {r[32] / r[128]:.2f} "
         f"(1.0 => lane-quantized, 0.25 => proportional)")
@@ -92,19 +119,17 @@ def main():
         rng.integers(0, 1 << 32, size=(K, wp), dtype=np.uint64
                      ).astype(np.uint32)
     )
-    fnt = jax.jit(
-        lambda a, sel, pf, w0: pallas_update.panel_update_mxu(
-            a, sel, pf, w0=w0
-        )
-    )
+    bpercall = {}
     for w0 in (0, 64, 128, 256, 384, 512):
         w0j = jnp.asarray(w0, jnp.int32)
-        force(fnt(a, sel, pf, w0j))
-        t, ts = best_of(lambda: force(fnt(a, sel, pf, w0j)))
+        force(_chain_w0(a, sel, pf, w0j, N_CHAIN))
+        t, ts = best_of(lambda: force(_chain_w0(a, sel, pf, w0j, N_CHAIN)))
+        per = (t - rtt) / N_CHAIN
+        bpercall[w0] = per
         live = wp - (w0 // 128) * 128
-        log(f"w0={w0:4d}: best {t * 1e3:8.3f} ms "
-            f"(live tiles cover {live} words)  "
-            f"{[round(x * 1e3, 2) for x in ts]}")
+        log(f"w0={w0:4d}: per-call {per * 1e3:8.3f} ms "
+            f"(live tiles cover {live} words)  chain "
+            f"{[round(x * 1e3, 1) for x in ts]}")
 
     verdict = "DEAD END (lane-quantized)" if r[32] / r[128] > 0.6 else \
         "VIABLE (narrow tiles are cheaper)"
