@@ -180,6 +180,55 @@ def bench_mt19937(bs: int = 32):
         chain_s = None
         log(f"device-chained measurement failed: {type(e).__name__}: {e}")
 
+    # efficiency keys (VERDICT r4 #7): device seconds of the fused solve and
+    # the phase-2 MXU utilization, so the driver record captures the
+    # architecture-meaningful numbers, not just tunnel-afflicted wall.
+    device_s = mxu_util = phase1_s = phase2_s = None
+    try:
+        small = jnp.zeros((8,), jnp.uint32)
+        _ = np.asarray(small[:1])
+        rtt = min(_timed(lambda: np.asarray(small[:1]))[0] for _ in range(5))
+        device_s = max(solve_s - rtt, 0.0)
+
+        def run_variant(p2v, trailing):
+            r = gauss_blocked.rref_blocked(
+                eqs, mt_jax.COLS, gauss_blocked.K_PANEL, p2v, phase1, trailing
+            )[0]
+            _ = np.asarray(r[0, :1])
+
+        run_variant(phase2, True)  # warm/compile
+        run_variant("skip", True)
+        trail_s = min(
+            _timed(lambda: run_variant(phase2, True))[0] for _ in range(3)
+        )
+        p1only_s = min(
+            _timed(lambda: run_variant("skip", True))[0] for _ in range(3)
+        )
+        phase1_s = max(p1only_s - rtt, 0.0)
+        phase2_s = max(trail_s - p1only_s, 1e-9)
+        # int8 MXU MACs actually issued by the trailing/segmented update:
+        # per panel t, rows x K x 32 bit-planes x live words, live words =
+        # wp - 128 * (fully-dead tiles) + 1 const word once tile 0 is dead
+        rows_, wp_ = eqs.shape
+        K_ = gauss_blocked.K_PANEL
+        kw_ = K_ // 32
+        panels_ = min(wp_ // kw_, -(-(1 + mt_jax.COLS) // K_))
+        tpp = 128 // kw_
+        macs = 0
+        for t in range(panels_):
+            d = min(t // tpp, wp_ // 128 - 1)
+            live = wp_ - 128 * d + (1 if d else 0)
+            macs += rows_ * K_ * 32 * live
+        peak_macs = 197.0e12  # v5e int8: 394 TOPS = 197e12 MAC/s
+        mxu_util = (macs / peak_macs) / phase2_s
+        log(
+            f"device_s {device_s * 1e3:.1f} ms (rtt {rtt * 1e3:.1f} ms); "
+            f"phase1 {phase1_s * 1e3:.1f} ms, phase2 {phase2_s * 1e3:.1f} ms"
+            f" -> mxu_util {mxu_util * 100:.0f}% of v5e int8 peak"
+        )
+    except Exception as e:
+        log(f"efficiency measurement failed: {type(e).__name__}: {e}")
+
     # public API through the generic lazy trace engine: the same workload
     # via LinearSystem.solve_one — the first call materializes + uploads the
     # device-cached coefficient matrix, warm calls ship only the ~2.5 KB

@@ -194,7 +194,7 @@ def rref_blocked(
 
     interp = phase1.endswith("_interpret")
 
-    def _panel_kernel_full(t, a, used, pof):
+    def _panel_kernel_full(t, a, used, pof, dead_tiles=None):
         """Kernel-phase-1 panel pass over ALL rows (fused or split)."""
         w0 = t * kw
         b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
@@ -220,9 +220,9 @@ def rref_blocked(
         gbit = 32 * w0 + bit_ids
         dst = jnp.where(prow >= 0, gbit - 1, cols)  # dump slot at cols
         pof = pof.at[dst].set(prow)
-        return _panel_tail(a, b_orig, pf, prow, pof, used, w0)
+        return _panel_tail(a, b_orig, pf, prow, pof, used, w0, dead_tiles)
 
-    def _panel_kernel_subset(t, a, used, pof):
+    def _panel_kernel_subset(t, a, used, pof, dead_tiles=None):
         """Scan only the first S unused rows (pivot = min global row index,
         so the subset winner IS the global winner whenever the subset sees
         the column at all); a post-update deficit check falls back to a
@@ -265,7 +265,7 @@ def rref_blocked(
         gbit = 32 * w0 + bit_ids
         dst = jnp.where(prow >= 0, gbit - 1, cols)
         pof = pof.at[dst].set(prow)
-        a, used, pof = _panel_tail(a, b_orig, pf, prow, pof, used, w0)
+        a, used, pof = _panel_tail(a, b_orig, pf, prow, pof, used, w0, dead_tiles)
 
         # deficit check: a claimed-free column with a live bit in some
         # unused row means the subset missed a pivot -> full fallback pass
@@ -279,17 +279,17 @@ def rref_blocked(
         deficit = jnp.any(live)
         return lax.cond(
             deficit,
-            lambda ops: _panel_kernel_full(t, *ops),
+            lambda ops: _panel_kernel_full(t, *ops, dead_tiles),
             lambda ops: ops,
             (a, used, pof),
         )
 
-    def panel_body(t, carry):
+    def panel_body(t, carry, dead_tiles=None):
         a, used, pof = carry
         if phase1.startswith("pallas_sub"):
-            return _panel_kernel_subset(t, a, used, pof)
+            return _panel_kernel_subset(t, a, used, pof, dead_tiles)
         if phase1.startswith("pallas"):
-            return _panel_kernel_full(t, a, used, pof)
+            return _panel_kernel_full(t, a, used, pof, dead_tiles)
         w0 = t * kw
         b_orig = lax.dynamic_slice(a, (0, w0), (rows, kw))
 
@@ -349,16 +349,58 @@ def rref_blocked(
             return jnp.where(elim[:, None], pf ^ pfrow[None, :], pf)
 
         pf = lax.fori_loop(0, K, p1b, pf)
-        return _panel_tail(a, b_orig, pf, prow, pof, used, w0)
+        return _panel_tail(a, b_orig, pf, prow, pof, used, w0, dead_tiles)
 
-    def _panel_tail(a, b_orig, pf, prow, pof, used, w0):
+    def _panel_tail(a, b_orig, pf, prow, pof, used, w0, dead_tiles=None):
         # selector matrix from the SAVED original slice, then the rank-K
         # bulk update with the selected engine
         s = selector_from_prow(b_orig, prow)
-        a = apply_rank_k_update(a, s, pf, phase2, w0=w0 if trailing else None)
+        if dead_tiles is not None:
+            # segmented trailing mode: dead_tiles is a STATIC per-segment
+            # count; >= 1 routes to the grid-compressed kernel that never
+            # touches dead tiles, 0 (no skippable tiles yet) to the plain
+            # full update (no SMEM/pl.when trailing machinery needed)
+            if dead_tiles >= 1:
+                from .pallas_update import panel_update_mxu_seg
+
+                a = panel_update_mxu_seg(
+                    a, s, pf, dead_tiles,
+                    interpret=phase2.endswith("_interpret"),
+                )
+            else:
+                a = apply_rank_k_update(a, s, pf, phase2, w0=None)
+        else:
+            a = apply_rank_k_update(
+                a, s, pf, phase2, w0=w0 if trailing else None
+            )
         return a, used, pof
 
-    a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
+    # Trailing mode-0 with the MXU engine runs a SEGMENTED panel loop: the
+    # number of fully-dead 128-word tiles d(t) = (t*kw) // 128 is a static
+    # function of the panel index, so panels are grouped by it and each
+    # segment's update excludes its dead tiles from the Pallas grid
+    # entirely.  The round-4 hardware sweep measured a ~0.2 ms/call fixed
+    # floor from skipped tiles copy-read+written through VMEM (~16 ms
+    # across the flagship's 78 panels); this removes that traffic
+    # structurally.  Opt out with GF2BV_TPU_PHASE2=mxu_noseg.
+    seg_trailing = (
+        trailing
+        and phase2 in ("mxu", "mxu_interpret")
+        and wp % 128 == 0
+        and 128 % kw == 0
+    )
+    if seg_trailing:
+        tpp = 128 // kw  # panels per dead-tile increment
+        nj = wp // 128
+        carry = (a, used0, pof0)
+        for s_ in range(min(nj, -(-panels // tpp))):
+            t0, t1 = s_ * tpp, min(panels, (s_ + 1) * tpp)
+            carry = lax.fori_loop(
+                t0, t1, functools.partial(panel_body, dead_tiles=s_), carry
+            )
+        a, used, pof = carry
+    else:
+        a, used, pof = lax.fori_loop(0, panels, panel_body, (a, used0, pof0))
     pof = pof[:cols]
 
     from . import extract_device

@@ -30,14 +30,19 @@ from ..core import packing
 from ..core.affine import AffineSpace
 
 _RHS_TILE = 128  # one appended tile (pallas lane alignment) = 4096 instances
-MAX_RHS_TILES = 4
-MAX_RHS = 32 * _RHS_TILE * MAX_RHS_TILES  # 16384 instances per elimination
+MAX_RHS_TILES = 8  # raised 4 -> 8 in round 5 (VERDICT r4 #5); the measured
+# elimination-width trend (0.134 s at 768 words -> 0.183 s at 1152) prices
+# the extra tiles at ~12 ms each, so doubling instances nearly doubles rate
+MAX_RHS = 32 * _RHS_TILE * MAX_RHS_TILES  # 32768 instances per elimination
 
 
 # instance-count buckets: host packs / uploads / extracts only bw words,
 # the device pads the appended block to whole _RHS_TILE tiles (static
 # shapes per bucket; each bucket compiles its own solver width)
-_BW_BUCKETS = (1, 8, 32, _RHS_TILE, 2 * _RHS_TILE, MAX_RHS_TILES * _RHS_TILE)
+_BW_BUCKETS = (
+    1, 8, 32, _RHS_TILE, 2 * _RHS_TILE, 4 * _RHS_TILE,
+    MAX_RHS_TILES * _RHS_TILE,
+)
 
 
 def _bw_for(nb: int) -> int:

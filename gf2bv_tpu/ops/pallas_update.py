@@ -309,6 +309,88 @@ def _pfconst_planes(pf):
     return ((pf[:, 0:1] >> _SHIFTS32[None, :]) & 1).astype(jnp.int8)
 
 
+def _mxu_kernel_seg(pfconst_ref, selbits_ref, pfbits_ref, a_ref, out_ref):
+    """Segmented trailing kernel: grid step 0 is the const tile (word 0
+    only), steps >= 1 are live word tiles.  Dead tiles are excluded from
+    the grid by the caller's index maps, so — unlike _mxu_kernel_trailing's
+    ``pl.when(skip)`` copy branch — they are never DMA'd through VMEM at
+    all (the measured ~0.2 ms/call copy-through floor, BASELINE.md round-4
+    "Trailing w0 sweep")."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _const():
+        _const_word_update(selbits_ref, pfconst_ref, a_ref, out_ref)
+
+    @pl.when(j > 0)
+    def _compute():
+        _rank_k_body(selbits_ref, pfbits_ref, a_ref, out_ref)
+
+
+def panel_update_mxu_seg(
+    a, sel, pf, dead_tiles: int, *, interpret: bool = False
+):
+    """Trailing rank-K update with the dead-tile prefix STATICALLY excluded
+    from the grid (mode-0 fast path; see gauss_blocked.rref_blocked's
+    segmented panel loop).
+
+    ``dead_tiles`` (static int >= 1): 128-word tiles [1, dead_tiles) are
+    entirely left of the live panel — they are neither read nor written, so
+    their contents in the returned array are UNDEFINED (callers in trailing
+    mode never read them).  Tile 0 takes the const-word-only path; tiles
+    [dead_tiles, nj) get the full MXU rank-K body.  Replaces the reference's
+    full-width PLUQ update (/root/reference/gf2bv/_internal.c:431-433) with
+    a strictly-live memory footprint."""
+    rows, wp = a.shape
+    k = pf.shape[0]
+    tw = 128
+    tr = min(TR, rows)
+    nj = wp // tw
+    ni = rows // tr
+    s = int(dead_tiles)
+    assert 1 <= s < nj and wp % 128 == 0
+    grid = (nj - s + 1, ni)
+    selbits = unpack_sel_bits(sel)
+    pfbits = unpack_pf_planes(pf)
+    pfconst = _pfconst_planes(pf)
+
+    def a_map(j, i):
+        return (i, jnp.where(j == 0, 0, j - 1 + s))
+
+    def pf_map(j, i):
+        # j == 0 prefetches the first live tile's planes (reused at j == 1,
+        # so the pipeline issues no extra DMA for it)
+        return (0, 0, jnp.where(j == 0, s, j - 1 + s))
+
+    live = nj - s
+    cost = pl.CostEstimate(
+        flops=2 * rows * k * live * tw * 32,
+        bytes_accessed=2 * rows * (live + 1) * tw * 4 + rows * k
+        + 32 * k * live * tw,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        _mxu_kernel_seg,
+        out_shape=jax.ShapeDtypeStruct((rows, wp), jnp.uint32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (k, 32), lambda j, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tr, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((32, k, tw), pf_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, tw), a_map, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tr, tw), a_map, memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(pfconst, selbits, pfbits, a)
+
+
 def panel_update_mxu2(a, sel, pf, *, interpret: bool = False, w0=None):
     """Fused-plane MXU variant (one matmul per tile; see _rank_k_body2)."""
     rows, wp = a.shape

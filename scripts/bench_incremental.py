@@ -71,6 +71,60 @@ def main():
 
     print(f"dimension now: {inc.dimension}  unsat={inc.unsat}", flush=True)
 
+    # -- from-scratch alternative at the same total shape -------------------
+    # (what the reference's per-call PLUQ idiom would pay per round,
+    #  /root/reference/gf2bv/_internal.c:359-502)
+    import jax.numpy as jnp
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops import gauss_blocked
+
+    a32 = gauss_blocked._pad(rand_rows(rng, ROWS), gauss_blocked.K_PANEL,
+                             word_align=128)
+    a_dev = jnp.asarray(a32)
+    np.asarray(a_dev[0, :1])
+    p1, p2 = gauss_blocked._pick_engines(a32.shape[1])
+
+    def scratch():
+        o, u = gauss_blocked.rref_origin_blocked(
+            a_dev, COLS, gauss_blocked.K_PANEL, p2, p1
+        )
+        np.asarray(u[None][:1])
+
+    scratch()  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scratch()
+        ts.append(time.perf_counter() - t0)
+    print(f"from-scratch fused mode-0 solve (same shape): "
+          f"min {min(ts)*1e3:.1f} ms", flush=True)
+
+    # -- online-attack loop shape: observe -> add -> check rank -------------
+    # fresh solver seeded short of full rank; each round folds 128 new rows
+    # and reads the maintained rank (the host int is updated by add itself)
+    inc2 = IncrementalSolver.from_packed(rand_rows(rng, COLS - 640), COLS,
+                                         slack=8192)
+    sync(inc2)
+    inc2.add_packed(rand_rows(rng, 128))  # warm the 128 bucket
+    sync(inc2)
+    print(f"online loop start: rank={inc2.rank} dim={inc2.dimension}",
+          flush=True)
+    round_times = []
+    while inc2.dimension > 0 and len(round_times) < 12:
+        rows = rand_rows(rng, 128)
+        t0 = time.perf_counter()
+        inc2.add_packed(rows)
+        sync(inc2)
+        round_times.append(time.perf_counter() - t0)
+        print(f"  round {len(round_times)}: {round_times[-1]*1e3:7.1f} ms  "
+              f"rank={inc2.rank} dim={inc2.dimension}", flush=True)
+    if round_times:
+        print(f"online loop: {len(round_times)} rounds, "
+              f"median {sorted(round_times)[len(round_times)//2]*1e3:.1f} ms"
+              f"/round (vs {min(ts)*1e3:.1f} ms from-scratch per round)",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

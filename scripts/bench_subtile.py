@@ -89,6 +89,10 @@ def main():
     log("--- A: lane-width sweep (chained word tile, k=256) ---")
     results = {}
     for tw in (32, 64, 128, 256):
+        # narrow tiles compute ~4-5 ms per 64-call chain, small next to the
+        # subtracted ~28 ms RTT whose jitter would distort the ratio; scale
+        # the chain so compute dominates RTT (ADVICE r4)
+        n = N_CHAIN * (4 if tw <= 64 else 1)
         a = jnp.asarray(
             rng.integers(0, 1 << 32, size=(ROWS, tw), dtype=np.uint64
                          ).astype(np.uint32)
@@ -97,13 +101,12 @@ def main():
             rng.integers(0, 1 << 32, size=(K, tw), dtype=np.uint64
                          ).astype(np.uint32)
         )
-        force(_chain(a, sel, pf, N_CHAIN))  # warm/compile
-        t, ts = best_of(lambda: force(_chain(a, sel, pf, N_CHAIN)))
-        per = (t - rtt) / N_CHAIN
+        force(_chain(a, sel, pf, n))  # warm/compile
+        t, ts = best_of(lambda: force(_chain(a, sel, pf, n)))
+        per = (t - rtt) / n
         results[tw] = per
-        log(f"tw={tw:4d}: per-call {per * 1e3:8.3f} ms "
-            f"(chain best {t * 1e3:.1f} ms of "
-            f"{[round(x * 1e3, 1) for x in ts]})")
+        log(f"tw={tw:4d}: per-call {per * 1e3:8.3f} ms (chain N={n} best "
+            f"{t * 1e3:.1f} ms of {[round(x * 1e3, 1) for x in ts]})")
     r = results
     log(f"t(32)/t(128) = {r[32] / r[128]:.2f} "
         f"(1.0 => lane-quantized, 0.25 => proportional)")
@@ -130,6 +133,40 @@ def main():
         log(f"w0={w0:4d}: per-call {per * 1e3:8.3f} ms "
             f"(live tiles cover {live} words)  chain "
             f"{[round(x * 1e3, 1) for x in ts]}")
+
+    # least-squares fit per-call = floor + slope * live_tiles over the w0
+    # sweep, so the "~0.2 ms fixed copy-through floor" documented in
+    # BASELINE.md is reproducible from this script's output (ADVICE r4)
+    xs = np.array([5 - (w0 // 128) for w0 in bpercall])  # live 128-word tiles
+    ys = np.array([bpercall[w0] for w0 in bpercall])
+    slope, floor = np.polyfit(xs, ys, 1)
+    log(f"w0-sweep fit: per-call = {floor * 1e3:.3f} ms fixed floor "
+        f"+ {slope * 1e3:.3f} ms per live 128-word tile")
+
+    log("--- C: segmented kernel (dead tiles excluded from the grid) ---")
+    # the round-5 fix: panel_update_mxu_seg never DMAs dead tiles; compare
+    # per-call cost against the pl.when-copy trailing kernel at matching w0
+    for dead in (1, 2, 3, 4):
+        w0 = dead * 128
+        w0j = jnp.asarray(w0, jnp.int32)
+
+        @functools.partial(jax.jit, static_argnames=("n", "dead"))
+        def _chain_seg(a, sel, pf, n, dead):
+            return lax.fori_loop(
+                0, n,
+                lambda i, a: pallas_update.panel_update_mxu_seg(
+                    a, sel, pf, dead
+                ),
+                a,
+            )
+
+        force(_chain_seg(a, sel, pf, N_CHAIN, dead))
+        t, ts = best_of(lambda: force(_chain_seg(a, sel, pf, N_CHAIN, dead)))
+        per_seg = (t - rtt) / N_CHAIN
+        per_old = bpercall.get(w0)
+        log(f"dead={dead}: seg per-call {per_seg * 1e3:8.3f} ms vs trailing "
+            f"{per_old * 1e3 if per_old else float('nan'):8.3f} ms "
+            f"(chain {[round(x * 1e3, 1) for x in ts]})")
 
     verdict = "DEAD END (lane-quantized)" if r[32] / r[128] > 0.6 else \
         "VIABLE (narrow tiles are cheaper)"

@@ -488,3 +488,78 @@ def test_mxu_scan_megakernel_trailing_branches_interpret():
             assert np.array_equal(np.asarray(prow), np.asarray(prow_ref))
             assert np.array_equal(np.asarray(cT), np.asarray(cT_ref))
             assert np.array_equal(np.asarray(used), np.asarray(used_ref))
+
+
+def test_mxu_panel_update_seg_interpret():
+    """Segmented trailing kernel: dead tiles are excluded from the grid
+    (contents undefined); tile 0 gets the const-word-only path; live tiles
+    get the full rank-K body."""
+    from gf2bv_tpu.ops.pallas_update import panel_update_mxu_seg
+
+    rng = np.random.default_rng(14)
+    rows, wp, k = 256, 512, 64  # four 128-word tiles
+    a = rng.integers(0, 2**32, size=(rows, wp), dtype=np.uint32)
+    sel = rng.integers(0, 2**32, size=(rows, k // 32), dtype=np.uint32)
+    pf = rng.integers(0, 2**32, size=(k, wp), dtype=np.uint32)
+    full = ref_update(a, sel, pf)
+    for dead in (1, 2, 3):
+        got = np.asarray(
+            panel_update_mxu_seg(
+                jnp.asarray(a),
+                jnp.asarray(sel),
+                jnp.asarray(pf),
+                dead,
+                interpret=True,
+            )
+        )
+        # tile 0: const word updated, rest of the tile copied through
+        assert np.array_equal(got[:, :1], full[:, :1])
+        assert np.array_equal(got[:, 1:128], a[:, 1:128])
+        # tiles [dead, nj): full update; tiles [1, dead): UNDEFINED (skip)
+        assert np.array_equal(got[:, dead * 128 :], full[:, dead * 128 :])
+
+
+def test_blocked_mode0_segmented_trailing_vs_oracle():
+    """End-to-end fused mode-0 at a multi-tile width so the segmented
+    trailing loop engages dead_tiles >= 1 (wp = 256 words -> 2 tiles;
+    panels 17.. run with tile 1 live only + const word)."""
+    import jax
+
+    from gf2bv_tpu.core import packing
+    from gf2bv_tpu.ops.gauss_blocked import _pad, rref_origin_blocked
+    from gf2bv_tpu.ops.gauss_ref import solve_oracle
+
+    rng = np.random.default_rng(77)
+    cols = 8190
+    rows = 300
+    secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+    coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+    coeff[rows - 4 :] = coeff[:4]  # dependent rows
+    rhs = (coeff @ secret) % 2
+    bits = np.concatenate([rhs[:, None], coeff], axis=1).astype(np.uint8)
+    eqs = packing.pack_bits(bits, 1 + cols)
+    a32 = _pad(eqs, 256, word_align=128)
+    assert a32.shape[1] == 256  # two 128-word tiles
+
+    origin32, unsat = jax.device_get(
+        rref_origin_blocked(
+            jnp.asarray(a32), cols, 256, "mxu_interpret", "jnp"
+        )
+    )
+    assert not bool(unsat)
+    ref = solve_oracle(eqs, cols, mode=0)
+    assert packing.words_to_int(
+        packing.from_u32(origin32[None, :])[0]
+    ) == packing.words_to_int(ref.origin)
+
+    # planted unsat: duplicated row with flipped RHS
+    bits_bad = np.concatenate([bits, bits[:1]], axis=0)
+    bits_bad[-1, 0] ^= 1
+    eqs_bad = packing.pack_bits(bits_bad, 1 + cols)
+    a32b = _pad(eqs_bad, 256, word_align=128)
+    _, unsat_b = jax.device_get(
+        rref_origin_blocked(
+            jnp.asarray(a32b), cols, 256, "mxu_interpret", "jnp"
+        )
+    )
+    assert bool(unsat_b)
