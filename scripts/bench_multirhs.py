@@ -1,8 +1,8 @@
 """Multi-RHS device-rate sweep across the tile buckets (VERDICT r3 #4).
 
-One elimination carries up to MAX_RHS=16384 instances as appended 128-word
-RHS tiles (ops/multi_rhs.py).  This measures the device rate (inputs
-resident, tiny forced readback) at B = 1024 / 4096 / 8192 / 16384 — the
+One elimination carries up to MAX_RHS=32768 instances as appended 128-word
+RHS tiles (ops/multi_rhs.py; 8 tiles since round 5).  This measures the
+device rate (inputs resident, tiny forced readback) at B = 1024 ... 32768 — the
 expected curve is "~one elimination" per batch: the appended tiles widen
 the augmented matrix 768 -> 896 -> 1152 words, so the per-elimination time
 grows ~1.5x from first to last bucket while the instance count grows 16x.
@@ -56,7 +56,7 @@ def main():
     cs = lazy_solve.cached_system(lin, tmpl.zeros)
     exprs = [z._expr for z in tmpl.zeros]
 
-    for nb in (1024, 4096, 8192, 16384):
+    for nb in (1024, 4096, 8192, 16384, 32768):
         batch, states = [], []
         for k in range(nb):
             r = random.Random(77_000 + k)
@@ -85,6 +85,12 @@ def main():
         rate = nb / ts[0]
         log(f"B={nb}: best {ts[0]:.3f}s of {[round(t, 3) for t in ts]} = "
             f"{rate:.0f} recoveries/s/chip")
+        # honest full-origin extraction cost at this scale: the D2H of all
+        # B origins (B x Wsol32 u32) through whatever link this host has
+        d2h, _ = _timed(lambda: jax.device_get(origins))
+        mb = origins.size * 4 / 1e6
+        log(f"B={nb}: full-origin D2H {d2h:.3f}s for {mb:.1f} MB "
+            f"(e2e rate incl. extraction: {nb / (ts[0] + d2h):.0f}/s)")
 
         # spot-verify 4 sampled instances against their known states
         ow = np.asarray(origins)

@@ -531,7 +531,13 @@ def fuzz_multi_rhs_multitile(n=2, seed=0x4C1):
     rng = np.random.default_rng(seed)
     cols, rows = 1500, 1600
     for i in range(n):
-        nb = int(rng.integers(4100, 9000))
+        # last sweep crosses 4 appended tiles (the round-5 MAX_RHS_TILES=8
+        # extension); earlier ones stay in the 2-3-tile range
+        nb = (
+            int(rng.integers(17000, 20000))
+            if i == n - 1
+            else int(rng.integers(4100, 9000))
+        )
         coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
         coeff[rows - 1] = coeff[0] ^ coeff[1]  # dependent row for unsat planting
         secrets = rng.integers(0, 2, size=(nb, cols)).astype(np.uint8)
@@ -631,6 +637,9 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2], 0) if len(sys.argv) > 2 else 0xF022
     main(n, cols=4000, backend="blocked", seed=seed)
+    # multi-word-tile shape (384 words = 3 tiles): mode 0 runs the round-5
+    # SEGMENTED trailing loop with dead_tiles >= 1 on the real chip
+    main(max(5, n // 5), cols=9000, backend="blocked", seed=seed ^ 0xDD)
     main(n, cols=700, backend="jax", seed=seed ^ 0x11)
     fuzz_batched(max(8, n // 2), seed=seed ^ 0x22)
     fuzz_sharded(max(6, n // 4), seed=seed ^ 0x33)
