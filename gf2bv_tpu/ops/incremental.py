@@ -30,9 +30,23 @@ Why there is no host/native twin (considered, rejected round 4): reducing
 B new rows against a dense rank-R RREF streams the whole ~R*nw matrix per
 new row (or rebuilds per-panel XOR tables, which costs the same as a bulk
 elimination pass), so at flagship scale an incremental host add costs
-about as much as the native engine's 0.3 s from-scratch solve.  The
-incremental win is amortizing per-solve dispatch/compile/readback
-overhead — which exists on the device path and not on the host one.
+about as much as the native engine's 0.3 s from-scratch solve.
+
+HARDWARE VERDICT (round 5, measured — scripts/bench_incremental.py,
+BASELINE.md): at the flagship 19968-var shape an add does NOT beat a
+from-scratch solve.  add(128) = 138 ms, add(512) = 228 ms,
+add(2048) = 619 ms, online-attack round (add 128 + rank readback) =
+~125 ms median, vs 97.8 ms for the from-scratch fused mode-0 solve at
+the same total shape.  The three add passes are full-matrix
+HBM sweeps without the blocked solver's panel locality/trailing skips,
+so their traffic alone exceeds the (extremely fast) fused elimination.
+Use this class for its ONLINE SEMANTICS — device-resident state across
+observation rounds, rank/dimension after every add without re-uploading
+or re-eliminating anything, sticky unsat — not for per-round speed at
+flagship scale; for raw throughput re-solve from scratch (solve_blocked)
+or batch instances via ops/multi_rhs.  (The reference has no incremental
+surface at all: one full PLUQ per `m4ri_solve` call,
+/root/reference/gf2bv/_internal.c:359-502.)
 """
 
 from __future__ import annotations

@@ -144,19 +144,21 @@ def bench_nlfsr_guess_batch():
     t, ts = best_of(lambda: solve_batch_systems(qsys, systems, mode=1), n=2)
     log(f"C. nlfsr_ex guess batch: 4 subsystems @ 8257 cols in {t:.3f} s "
         f"({4 / t:.1f} cand/s)  runs={[round(x, 3) for x in ts]}")
-    one, _ = best_of(lambda: qsys.solve_all(systems[0], max_dimension=16),
-                     n=2)
-    log(f"   sequential solve_all: {one:.3f} s/cand -> batch speedup "
-        f"{one * 4 / t:.1f}x")
+    # solve_all is a generator (reference semantics) — the honest sequential
+    # per-candidate cost is the mode-1 solve it wraps, one per candidate
+    one, _ = best_of(lambda: qsys.solve_raw_space(systems[0]), n=2)
+    log(f"   sequential per-candidate mode-1 solve: {one:.3f} s/cand -> "
+        f"batch speedup {one * 4 / t:.1f}x")
 
 
 def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    bench_lfsr_sweep()
-    bench_mt_sweep()
-    if "--nlfsr" in sys.argv:
+    if "--only-nlfsr" not in sys.argv:
+        bench_lfsr_sweep()
+        bench_mt_sweep()
+    if "--nlfsr" in sys.argv or "--only-nlfsr" in sys.argv:
         bench_nlfsr_guess_batch()
 
 
