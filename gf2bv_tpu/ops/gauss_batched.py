@@ -340,10 +340,24 @@ def padded_batch_dims(rows_max: int, w64: int) -> tuple[int, int]:
     return rows_pad, wp
 
 
+# The batch-vectorized kernels carry a (B, K, kw*32)-word scratch through
+# each grid step; past B ~= a few dozen that scoped allocation exceeds
+# Mosaic's 16 MB VMEM limit and the program fails to COMPILE (measured on
+# the chip: B=64 @ 1024 cols and B=256 @ 256 cols both reject with
+# "Scoped allocation ... exceeded scoped vmem limit", B=16 @ 2048 cols
+# fits — BASELINE.md round-5 crossover).  The host entry chunks the batch
+# so callers can pass any B; chunks are padded to the full chunk size with
+# zero systems (harmless for the RREF; results sliced before extraction)
+# so one executable serves every chunk.
+VMEM_BATCH_MAX = 16
+
+
 def solve_batched(eq_mats, cols: int, mode: int, phase2: str | None = None):
     """Batched large-system solve (host entry, gauss_blocked.solve_blocked
     contract per instance): eq_mats is a list of packed (rows_i, W64)
-    systems or a (B, rows, W32) array.  Returns one entry per system."""
+    systems or a (B, rows, W32) array.  Batches above ``VMEM_BATCH_MAX``
+    run as multiple device programs (see the constant's note).  Returns
+    one entry per system."""
     from . import extract_device
     from .gauss_blocked import _pick_engines
 
@@ -361,18 +375,41 @@ def solve_batched(eq_mats, cols: int, mode: int, phase2: str | None = None):
     _, auto2 = _pick_engines(a.shape[2])
     phase2 = phase2 or auto2
     interpret = jax.default_backend() != "tpu"  # kernels have no jnp twin
-    if mode == 0:
-        origins, unsat = jax.device_get(
-            rref_origin_batched(a, cols, K_PANEL, phase2, interpret)
-        )
-        return [
-            None if bool(unsat[b]) else packing.from_u32(origins[b][None, :])[0]
-            for b in range(a.shape[0])
-        ]
-    rref32, pof, inconsistent = rref_blocked_batched(
-        a, cols, K_PANEL, phase2, False, interpret
-    )
-    return extract_device.finalize_batch(rref32, pof, inconsistent, cols, mode)
+    nb = a.shape[0]
+    out: list = []
+    for c0 in range(0, nb, VMEM_BATCH_MAX):
+        chunk = a[c0 : c0 + VMEM_BATCH_MAX]
+        n = chunk.shape[0]
+        if nb > VMEM_BATCH_MAX and n < VMEM_BATCH_MAX:
+            # pad the tail chunk so every chunk reuses ONE executable
+            chunk = jnp.concatenate(
+                [chunk,
+                 jnp.zeros((VMEM_BATCH_MAX - n, *chunk.shape[1:]),
+                           jnp.uint32)],
+                axis=0,
+            )
+        if mode == 0:
+            origins, unsat = jax.device_get(
+                rref_origin_batched(chunk, cols, K_PANEL, phase2, interpret)
+            )
+            out.extend(
+                None if bool(unsat[b])
+                else packing.from_u32(origins[b][None, :])[0]
+                for b in range(n)
+            )
+        else:
+            rref32, pof, inconsistent = rref_blocked_batched(
+                chunk, cols, K_PANEL, phase2, False, interpret
+            )
+            # slice padding off BEFORE extraction: an all-zero padding
+            # system has dim == cols and would compile a cols-sized
+            # basis bucket for throwaway results
+            out.extend(
+                extract_device.finalize_batch(
+                    rref32[:n], pof[:n], inconsistent[:n], cols, mode
+                )
+            )
+    return out
 
 
 # LRU-bounded: each entry retains a compiled scan executable sized by the

@@ -22,6 +22,15 @@ from ..core import packing
 from ..core.affine import AffineSpace
 from . import mesh as meshlib
 
+# Batch-route crossover, measured on the chip (BASELINE.md round-5
+# "Batched-solver crossover", scripts/bench_batch_crossover.py): the
+# vmapped per-pivot kernel wins through 1024 cols (6231/3030/1152 solves/s
+# at 256/512/1024 vs chained 2188/1373/755) and loses from 2048 up (267
+# vs batched 332 / chained 303 at 2048; 33 vs 118/135 at 4096).  The old
+# constant here was the single-solve blocked threshold (1024), which
+# mis-routed the 1024..2047 band.
+_PER_PIVOT_MAX_COLS = 2048
+
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _rref_batched(a: jnp.ndarray, cols: int):
@@ -58,17 +67,15 @@ def solve_batch(
 
     The vmapped kernel is the per-pivot one (cols sequential full-matrix
     passes per instance) — the right shape for the many-small-systems
-    pattern this axis exists for.  Above the blocked-solver threshold the
-    per-pivot form is pathological, so wide systems are routed through the
-    panel-blocked solver one at a time instead (each solve is fast; the
-    batch is just a host loop).
+    pattern this axis exists for.  From ``_PER_PIVOT_MAX_COLS`` up the
+    per-pivot form loses to the blocked family (measured crossover below),
+    so wide systems route through the panel-blocked solvers instead.
     """
     if not eq_mats:
         return []
-    from ..ops import solver
     from ..ops.gauss_blocked import solve_blocked
 
-    if cols >= solver._BLOCKED_THRESHOLD:
+    if cols >= _PER_PIVOT_MAX_COLS:
         if mesh is not None:
             import warnings
 

@@ -78,13 +78,15 @@ def test_solve_chained_matches_solve_blocked():
 
 
 def test_solve_batch_routes_wide_mode0_to_chained(monkeypatch):
-    """parallel.batch.solve_batch must send wide mode-0 batches through the
-    chained-scan path (measured faster per solve at flagship shape)."""
-    from gf2bv_tpu.ops import solver
+    """parallel.batch.solve_batch must send mode-0 batches at or above the
+    measured per-pivot crossover through the chained-scan path.  The real
+    constant is 2048 (BASELINE.md round-5 crossover); it is patched down
+    so the routing logic is exercised at a CI-sized shape."""
     from gf2bv_tpu.parallel import batch as pbatch
 
+    monkeypatch.setattr(pbatch, "_PER_PIVOT_MAX_COLS", 190)
     rng = np.random.default_rng(37)
-    cols = max(190, solver._BLOCKED_THRESHOLD)
+    cols = 190
     mats = _systems(rng, 2, cols + 60, cols)
     called = {}
 
@@ -102,3 +104,29 @@ def test_solve_batch_routes_wide_mode0_to_chained(monkeypatch):
         assert (g is None) == (want is None)
         if want is not None:
             assert np.array_equal(g, want)
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+def test_solve_batched_chunks_past_vmem_max(monkeypatch, mode):
+    """Batches above VMEM_BATCH_MAX split into multiple device programs
+    (the batch-vectorized kernels fail to COMPILE past ~64 instances —
+    scoped-VMEM limit, BASELINE.md round-5 crossover); the tail chunk is
+    zero-padded for executable reuse and sliced before extraction.  The
+    cap is patched down so the chunk loop runs at CI size."""
+    monkeypatch.setattr(gauss_batched, "VMEM_BATCH_MAX", 4)
+    rng = np.random.default_rng(41)
+    mats = _systems(rng, 5, 200, 120, with_unsat=True)  # 6 systems: 4 + 2
+    got = gauss_batched.solve_batched(mats, 120, mode)
+    assert len(got) == len(mats)
+    saw_unsat = False
+    for g, m in zip(got, mats):
+        want = solve_blocked(m, 120, mode)
+        if want is None:
+            assert g is None
+            saw_unsat = True
+        elif mode == 0:
+            assert np.array_equal(g, want)
+        else:
+            assert np.array_equal(g[0], want[0])
+            assert np.array_equal(g[1], want[1])
+    assert saw_unsat
