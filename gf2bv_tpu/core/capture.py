@@ -144,7 +144,7 @@ class CapturedTrace:
             spaces = sys._sweep_from_eqs(eqs, guesses, candidates, 1)
             return sys._first_consistent_per_candidate(spaces, max_dimension)
         raws = sys._sweep_from_eqs(eqs, guesses, candidates, 0)
-        return [None if r is None else sys.convert_sol(r) for r in raws]
+        return sys._convert_sols_batch(raws)
 
     # -- multi-RHS batch: ONE elimination for many instances ---------------
 
@@ -242,23 +242,17 @@ class CapturedTrace:
 
     def solve_one_batch(self, values_batch, *, max_dimension: int = 16):
         """Batched solve_one.  Quadratic systems route each instance's
-        space through the consistency filter (first consistent point)."""
-        raws = self.solve_raw_batch(
-            values_batch,
-            mode=1 if getattr(self.system, "_quad_size", None) is not None
-            else 0,
-        )
-        out = []
-        for r in raws:
-            if r is None:
-                out.append(None)
-            elif isinstance(r, int):
-                out.append(self.system.convert_sol(r))
-            else:  # AffineSpace (quadratic): first consistent point
-                out.append(
-                    next(self.system._enumerate_space(r, max_dimension), None)
-                )
-        return out
+        space through the consistency filter (first consistent point);
+        linear systems convert all raw points in one vectorized split."""
+        quad = getattr(self.system, "_quad_size", None) is not None
+        raws = self.solve_raw_batch(values_batch, mode=1 if quad else 0)
+        if not quad:
+            return self.system._convert_sols_batch(raws)
+        return [
+            None if r is None
+            else next(self.system._enumerate_space(r, max_dimension), None)
+            for r in raws
+        ]
 
     # -- pickling (the reference's trace-cache pattern) --------------------
 

@@ -118,6 +118,61 @@ def from_u32(rows32: np.ndarray) -> np.ndarray:
     return rows32.view("<u8")
 
 
+def split_rows_by_sizes(rows: np.ndarray, sizes) -> list[tuple[int, ...]]:
+    """Vectorized solution split: each (W64-packed) row becomes a tuple of
+    per-block ints, low bits first, block widths from ``sizes`` — the
+    batch form of the reference's ``convert_sol`` loop
+    (``/root/reference/gf2bv/__init__.py:242-248``: ``s & mask; s >>= n``).
+
+    Per-int bigint shifting costs O(total_bits^2 / 64) per row (each
+    ``>>=`` copies the remaining words); this unpacks all rows to a bit
+    matrix once and packs each block column-slice back, O(total_bits) per
+    row.  Rows are processed in bounded chunks so huge batches (multi-RHS
+    sweeps at B = 32768) don't materialize a GB-scale bit matrix.
+
+    Stray bits above ``sum(sizes)`` raise (the reference asserts the
+    solution int is exhausted).
+    """
+    sizes = list(sizes)
+    nbits = sum(sizes)
+    rows = np.ascontiguousarray(rows, dtype="<u8")
+    n = rows.shape[0]
+    if rows.shape[1] * WORD < nbits:
+        raise ValueError("rows narrower than sum(sizes)")
+    out: list[tuple[int, ...]] = []
+    chunk = max(1, (64 << 20) // max(1, nbits))  # ~64 MB of unpacked bits
+    for c0 in range(0, n, chunk):
+        bits = np.unpackbits(
+            rows[c0 : c0 + chunk].view(np.uint8), axis=1, bitorder="little"
+        )
+        if bits.shape[1] > nbits and bits[:, nbits:].any():
+            raise AssertionError("Invalid solution")  # ref: exhausted bits
+        cols: list[list[int]] = []
+        off = 0
+        for sz in sizes:
+            blk = bits[:, off : off + sz]
+            off += sz
+            nby = (sz + 7) // 8
+            packed = np.packbits(blk, axis=1, bitorder="little")
+            nw = (sz + 63) // 64
+            if nw * 8 > nby:
+                packed = np.pad(packed, ((0, 0), (0, nw * 8 - nby)))
+            words = packed.view("<u8")
+            if nw == 1:
+                cols.append(words[:, 0].tolist())
+            else:
+                buf = np.ascontiguousarray(words).tobytes()
+                w8 = nw * 8
+                cols.append(
+                    [
+                        int.from_bytes(buf[i * w8 : (i + 1) * w8], "little")
+                        for i in range(words.shape[0])
+                    ]
+                )
+        out.extend(zip(*cols))
+    return out
+
+
 def popcount_words(words: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64 array (vectorized, host)."""
     # numpy >= 2.0 has bitwise_count

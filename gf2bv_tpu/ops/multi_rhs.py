@@ -76,6 +76,40 @@ def _pack_rhs(rhs_bits: np.ndarray, rows_pad: int, bw: int) -> np.ndarray:
     return out8.view(np.uint32)
 
 
+def _pack_rhs_affine_sweep(
+    base_aff: np.ndarray, guess_bits: np.ndarray, rows_pad: int, bw: int
+) -> np.ndarray:
+    """Packed RHS for a guess-sweep chunk WITHOUT materializing the
+    (B, rows) bit matrix: every instance shares ``base_aff`` except the
+    last G rows, where instance k's bit is ``base ^ guess_bits[k, g]``.
+
+    The shared column packs as a word fill (bit b of every instance word
+    equals base_aff[row]) and the guess rows pack from the tiny (G, B)
+    candidate matrix — O(rows_pad * bw) words written instead of
+    O(B * rows) bytes (measured: the materialized build+pack was ~1.9 s
+    of the 2.3 s warm flagship sweep, BASELINE.md round-5 sweep phases).
+
+    base_aff: (rows,) uint8 0/1; guess_bits: (nb, G) uint8.  Instances
+    beyond nb in the last used word replicate the base column; they are
+    phantom instances whose outputs the callers never read."""
+    nb, G = guess_bits.shape
+    rows = base_aff.shape[0]
+    nwu = -(-nb // 32)
+    out = np.zeros((rows_pad, bw), np.uint32)
+    out[:rows, :nwu] = np.where(
+        base_aff, np.uint32(0xFFFFFFFF), np.uint32(0)
+    )[:, None]
+    if G:
+        pk = np.packbits(
+            np.ascontiguousarray(guess_bits.T), axis=1, bitorder="little"
+        )
+        pad = nwu * 4 - pk.shape[1]
+        if pad:
+            pk = np.pad(pk, ((0, 0), (0, pad)))
+        out[rows - G : rows, :nwu] ^= pk.view(np.uint32)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _extract_multi(rref32, pof, cols: int, wp: int, bw: int):
     """(origins (32*bw, Wsol32) u32, unsat_words (bw,) u32) — only the
@@ -152,12 +186,14 @@ def solve_multi_rhs_device(
 def solve_multi_rhs(
     a32,
     cols: int,
-    rhs_bits: np.ndarray,
+    rhs_bits: np.ndarray | None,
     mode: int = 0,
     k_panel: int | None = None,
     phase1: str | None = None,
     phase2: str | None = None,
     basis_cache: dict | None = None,
+    rhs_packed: np.ndarray | None = None,
+    nb: int | None = None,
 ):
     """Solve the SAME coefficient matrix for many affine columns at once.
 
@@ -172,18 +208,35 @@ def solve_multi_rhs(
     the same matrix pass the same dict so the kernel basis (identical
     across chunks) is built at most once, and not at all when every
     instance is unsatisfiable.
+
+    ``rhs_packed``/``nb``: alternative pre-packed input — a
+    (rows_pad, bw) uint32 block in ``_pack_rhs`` layout carrying ``nb``
+    instances (pass ``rhs_bits=None``).  Callers whose RHS has structure
+    (the guess sweep's shared-base-column form, ``_pack_rhs_affine_sweep``)
+    build it directly instead of materializing (B, rows) bits.
     """
     from . import extract_device
 
     a_dev = jnp.asarray(a32, jnp.uint32)
     rows_pad, wp = a_dev.shape
-    nb = rhs_bits.shape[0]
-    bw = _bw_for(nb)
-    # upload only the used instance words; the device zero-pads the block
-    # to whole lane-aligned tiles (tunnel H2D is the scarce resource)
-    rhs_dev = jnp.asarray(
-        _pack_rhs(np.asarray(rhs_bits, np.uint8), rows_pad, bw)
-    )
+    if rhs_packed is not None:
+        if nb is None:
+            raise ValueError("rhs_packed requires nb")
+        bw = rhs_packed.shape[1]
+        if bw != _bw_for(nb):
+            raise ValueError(
+                f"rhs_packed width {bw} != bucket {_bw_for(nb)} for nb={nb}"
+            )
+        rhs_dev = jnp.asarray(rhs_packed)
+    else:
+        nb = rhs_bits.shape[0]
+        bw = _bw_for(nb)
+        # upload only the used instance words; the device zero-pads the
+        # block to whole lane-aligned tiles (tunnel H2D is the scarce
+        # resource)
+        rhs_dev = jnp.asarray(
+            _pack_rhs(np.asarray(rhs_bits, np.uint8), rows_pad, bw)
+        )
     rref32, pof, origins_dev, unsat_dev = solve_multi_rhs_device(
         a_dev, cols, rhs_dev, bw, k_panel, phase1, phase2
     )

@@ -55,3 +55,56 @@ def test_u32_view_layout():
 def test_parity_rows():
     rows = packing.ints_to_rows([0b111, 0b101, 0], 100)
     assert list(packing.parity_rows(rows)) == [1, 0, 0]
+
+
+def test_split_rows_by_sizes_matches_convert_sol():
+    """Vectorized batch split == the reference's per-int convert_sol chain
+    (s & mask; s >>= size), incl. >64-bit blocks and the chunked path."""
+    import random
+
+    from gf2bv_tpu.core import packing as P
+
+    rng = random.Random(0x5EED)
+    for sizes in ([32] * 7, [5, 64, 1, 100, 30], [200], [1] * 65):
+        nbits = sum(sizes)
+        vals = [rng.getrandbits(nbits) for _ in range(9)]
+        rows = P.ints_to_rows(vals, nbits)
+        got = P.split_rows_by_sizes(rows, sizes)
+        for v, tup in zip(vals, got):
+            want = []
+            s = v
+            for sz in sizes:
+                want.append(s & ((1 << sz) - 1))
+                s >>= sz
+            assert s == 0
+            assert tup == tuple(want)
+
+
+def test_split_rows_by_sizes_rejects_stray_bits():
+    import numpy as np
+    import pytest
+
+    from gf2bv_tpu.core import packing as P
+
+    rows = P.ints_to_rows([0b1011], 4)
+    assert P.split_rows_by_sizes(rows, [2, 2]) == [(0b11, 0b10)]
+    bad = P.ints_to_rows([1 << 5], 6)  # bit above sum(sizes)=4
+    with pytest.raises(AssertionError):
+        P.split_rows_by_sizes(bad, [2, 2])
+
+
+def test_split_rows_by_sizes_chunking():
+    """Force the internal chunk loop (chunk size derives from total bits)."""
+    import numpy as np
+
+    from gf2bv_tpu.core import packing as P
+
+    sizes = [17, 47]  # 64 bits/row
+    n = 4            # with a tiny chunk budget this still exercises >1 chunk
+    rng = np.random.default_rng(3)
+    vals = [int(rng.integers(0, 1 << 62)) for _ in range(n)]
+    rows = P.ints_to_rows(vals, 64)
+    got = P.split_rows_by_sizes(rows, sizes)
+    assert got == [
+        (v & ((1 << 17) - 1), v >> 17) for v in vals
+    ]

@@ -239,3 +239,45 @@ def test_captured_trace_sweep_matches_direct():
     # the true high-bit assignment recovers the key
     true_k = key >> (W - 6)
     assert got[true_k] == (key,)
+
+
+def test_sweep_adev_cache_hits_across_affine_rebinding():
+    """The sweep's device coefficient matrix is cached by coefficient
+    content with the (inert) affine bit zeroed: two systems sharing
+    coefficients but with DIFFERENT constants must hit one cache entry
+    and still solve each to its own (different, correct) answers."""
+    from gf2bv_tpu.core import system as sysmod
+
+    rng = np.random.default_rng(17)
+    lin = LinearSystem([40])
+    secret, zeros = _mt_like(rng, lin, 52)
+    (x,) = lin.gens(lazy=False)
+    guesses = [(x >> 3) & 1]
+
+    # same structure, flipped constants: XOR 1 into a few zeros
+    zeros2 = [z ^ 1 if i < 5 else z for i, z in enumerate(zeros)]
+
+    sysmod._sweep_adev_cache.clear()
+    got1 = lin.solve_one_sweep(zeros, guesses)
+    n_after_first = len(sysmod._sweep_adev_cache)
+    got2 = lin.solve_one_sweep(zeros2, guesses)
+    if n_after_first:  # device route taken (0 = native route, no cache)
+        assert len(sysmod._sweep_adev_cache) == n_after_first  # cache HIT
+    for k in range(2):
+        assert got1[k] == lin.solve_one(list(zeros) + [guesses[0] ^ k])
+        assert got2[k] == lin.solve_one(list(zeros2) + [guesses[0] ^ k])
+    # the flipped-constant system must actually differ somewhere
+    assert got1 != got2
+
+
+def test_sweep_batch_conversion_matches_per_point():
+    """_convert_sols_batch (vectorized split) == per-raw convert_sol."""
+    rng = np.random.default_rng(23)
+    lin = LinearSystem([13, 64, 3])
+    raws = [None] + [int(rng.integers(0, 1 << 62)) << 5 | int(v)
+                     for v in rng.integers(0, 32, size=6)]
+    # keep within 80 bits
+    raws = [r if r is None else r % (1 << 80) for r in raws]
+    got = lin._convert_sols_batch(raws)
+    want = [None if r is None else lin.convert_sol(r) for r in raws]
+    assert got == want
