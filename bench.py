@@ -328,6 +328,27 @@ def bench_mt19937(bs: int = 32):
         f"(origins D2H alone: {d2h_s:.3f}s through the tunnel)"
     )
 
+    # guess sweep at the flagship shape: pin 12 state bits, solve all 4096
+    # candidates in ONE elimination (round-5 capability; the reference
+    # idiom re-factors per candidate).  The system is full-rank here, so
+    # exactly the true assignment survives.
+    sweep_s = None
+    try:
+        gw = lin.gens()
+        sw_guesses = [gw[0][i] for i in range(12)]
+        k_true = sum(((st[0] >> i) & 1) << i for i in range(12))
+        sweep_sols = lin.solve_one_sweep(zeros, sw_guesses)  # warm
+        assert sweep_sols[k_true] == st
+        assert sum(x is not None for x in sweep_sols) == 1
+        sweep_s = min(
+            _timed(lambda: lin.solve_one_sweep(zeros, sw_guesses))[0]
+            for _ in range(2)
+        )
+        log(f"flagship guess sweep: 4096 candidates in {sweep_s:.3f}s "
+            f"({4096 / sweep_s:.0f} cand/s)")
+    except Exception as e:
+        log(f"sweep measurement failed: {type(e).__name__}: {e}")
+
     # correctness: reference-style round trip
     s = packing.words_to_int(raw)
     sol = []
@@ -339,10 +360,22 @@ def bench_mt19937(bs: int = 32):
     assert all(rng2.getrandbits(bs) == o for o in out)
     log("round-trip verified")
 
-    return (
-        solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
-        nb / batch_s, nb / dev_s,
-    )
+    return {
+        "solve_s": solve_s,
+        "trace_s": trace_s,
+        "pipe_s": pipe_s,
+        "chain_s": chain_s,
+        "api_s": api_s,
+        "api_full_s": api_full_s,
+        "tmpl_s": tmpl_s,
+        "batch_rate": nb / batch_s,
+        "dev_rate": nb / dev_s,
+        "sweep_s": sweep_s,
+        "device_s": device_s,
+        "phase1_s": phase1_s,
+        "phase2_s": phase2_s,
+        "mxu_util": mxu_util,
+    }
 
 
 def _wait_for_tpu(deadline_s: float) -> bool:
@@ -471,10 +504,8 @@ def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    (
-        solve_s, trace_s, pipe_s, chain_s, api_s, api_full_s, tmpl_s,
-        batch_rate, dev_rate,
-    ) = bench_mt19937()
+    r = bench_mt19937()
+    solve_s, chain_s, sweep_s = r["solve_s"], r["chain_s"], r["sweep_s"]
     print(
         json.dumps(
             {
@@ -483,14 +514,16 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(M4RI_BASELINE_EST_S / solve_s, 3),
                 "detail": {
-                    "trace_s": round(trace_s, 4),
-                    "public_api_solve_one_s": round(api_s, 4),
-                    "public_api_full_path_s": round(api_full_s, 4),
-                    "captured_trace_full_path_s": round(tmpl_s, 4),
+                    "trace_s": round(r["trace_s"], 4),
+                    "public_api_solve_one_s": round(r["api_s"], 4),
+                    "public_api_full_path_s": round(r["api_full_s"], 4),
+                    "captured_trace_full_path_s": round(r["tmpl_s"], 4),
                     # device rate (inputs resident, forced readback): the
                     # stable hardware number — e2e on this box rides a
                     # 5-500 MB/s dev tunnel and swings ~40% run-to-run
-                    "multi_rhs_recoveries_per_s_b256": round(dev_rate, 1),
+                    "multi_rhs_recoveries_per_s_b256": round(
+                        r["dev_rate"], 1
+                    ),
                     # methodology changed in round 4: the key above now
                     # records the device rate; rounds <= 3 recorded e2e
                     # including tunnel I/O (kept below for comparison) —
@@ -500,11 +533,37 @@ def main():
                         "device rate since r4; r<=3 was e2e incl. tunnel I/O"
                     ),
                     "multi_rhs_e2e_tunnel_bound_per_s_b256": round(
-                        batch_rate, 1
+                        r["batch_rate"], 1
                     ),
-                    "pipelined_solves_per_s": round(1 / pipe_s, 2),
+                    "pipelined_solves_per_s": round(1 / r["pipe_s"], 2),
                     "device_chained_solves_per_s": (
                         round(1 / chain_s, 2) if chain_s else None
+                    ),
+                    # efficiency keys (VERDICT r4 #7): device seconds of
+                    # the fused solve + phase split + phase-2 MXU
+                    # utilization by the whole-phase MAC model (BASELINE.md
+                    # round-5 note: steady-state kernel ~85%; the gap is
+                    # the per-row-tile pipeline floor)
+                    "device_s": (
+                        round(r["device_s"], 4)
+                        if r["device_s"] is not None else None
+                    ),
+                    "phase1_s": (
+                        round(r["phase1_s"], 4)
+                        if r["phase1_s"] is not None else None
+                    ),
+                    "phase2_s": (
+                        round(r["phase2_s"], 4)
+                        if r["phase2_s"] is not None else None
+                    ),
+                    "mxu_util": (
+                        round(r["mxu_util"], 3)
+                        if r["mxu_util"] is not None else None
+                    ),
+                    # flagship guess sweep (round 5): 4096 candidates, one
+                    # elimination
+                    "sweep_candidates_per_s_flagship": (
+                        round(4096 / sweep_s, 1) if sweep_s else None
                     ),
                     "baseline": "M4RI single-core estimate 2.0s (BASELINE.md; reference publishes no numbers)",
                     "native_baseline_s": NATIVE_ENGINE_MEASURED_S,
