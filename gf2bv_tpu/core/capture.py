@@ -148,13 +148,18 @@ class CapturedTrace:
 
     # -- multi-RHS batch: ONE elimination for many instances ---------------
 
-    def solve_raw_batch(self, values_batch, mode: int = 0):
+    def solve_raw_batch(self, values_batch, mode: int = 0, mesh=None):
         """Solve many instances with ONE device elimination (ops/multi_rhs):
         the captured coefficient matrix is shared, so every instance is one
-        extra RHS column.  Up to 16384 instances (4 appended 128-word
+        extra RHS column.  Up to 32768 instances (8 appended 128-word
         tiles) per elimination; larger batches chunk transparently.
         Returns one entry per instance: raw int / AffineSpace (mode 1
-        shares a single basis) / None."""
+        shares a single basis) / None.
+
+        ``mesh``: shard instances over the mesh's batch axis with the
+        coefficient matrix replicated (parallel/multi_rhs_sharded.py —
+        zero collectives, linear scaling; per-chunk capacity becomes
+        n_devices * 32768)."""
         from ..ops import lazy_solve, multi_rhs
 
         values_batch = [self._check(v) for v in values_batch]
@@ -172,14 +177,28 @@ class CapturedTrace:
         basis_cache: dict = (
             cs.basis_cache if cs.backend == "native" else {}
         )
-        for c0 in range(0, len(values_batch), multi_rhs.MAX_RHS):
-            chunk = values_batch[c0 : c0 + multi_rhs.MAX_RHS]
+        chunk_cap = multi_rhs.MAX_RHS
+        if mesh is not None and cs.backend != "native":
+            from ..parallel import mesh as meshlib
+
+            chunk_cap *= mesh.shape[meshlib.BATCH_AXIS]
+        for c0 in range(0, len(values_batch), chunk_cap):
+            chunk = values_batch[c0 : c0 + chunk_cap]
             affs = self._affine_matrix(exprs, cs.widths, chunk)
             # literal-1 early-out per instance: a dropped (zero-coefficient)
             # row whose affine bit is set makes that instance unsatisfiable
             lit_one = (affs & ~cs.kept_mask[None, :]).any(axis=1)
             rhs = affs[:, cs.kept]
-            if cs.backend == "native":
+            if mesh is not None and cs.backend != "native":
+                from ..parallel.multi_rhs_sharded import (
+                    solve_multi_rhs_sharded,
+                )
+
+                res = solve_multi_rhs_sharded(
+                    cs.a_dev, self.system._cols, rhs, mode, mesh=mesh,
+                    basis_cache=basis_cache,
+                )
+            elif cs.backend == "native":
                 from .._native import solve_multi_rhs_native
 
                 res = solve_multi_rhs_native(
