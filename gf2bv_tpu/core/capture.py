@@ -178,6 +178,16 @@ class CapturedTrace:
             cs.basis_cache if cs.backend == "native" else {}
         )
         chunk_cap = multi_rhs.MAX_RHS
+        if mesh is not None and cs.backend == "native":
+            import warnings
+
+            warnings.warn(
+                "solve_raw_batch: this process resolved to the native host "
+                "backend, so the mesh is not used (instances run on the "
+                "host multi-RHS engine); unset GF2BV_TPU_CPU_NATIVE or "
+                "pass backend='blocked' to shard over devices",
+                stacklevel=2,
+            )
         if mesh is not None and cs.backend != "native":
             from ..parallel import mesh as meshlib
 

@@ -139,6 +139,12 @@ def split_rows_by_sizes(rows: np.ndarray, sizes) -> list[tuple[int, ...]]:
     n = rows.shape[0]
     if rows.shape[1] * WORD < nbits:
         raise ValueError("rows narrower than sum(sizes)")
+    if not sizes:
+        # one empty tuple per row (zip(*[]) would collapse to []); rows
+        # must still be all-zero, matching the exhausted-bits assert
+        if rows.any():
+            raise AssertionError("Invalid solution")
+        return [() for _ in range(n)]
     out: list[tuple[int, ...]] = []
     chunk = max(1, (64 << 20) // max(1, nbits))  # ~64 MB of unpacked bits
     for c0 in range(0, n, chunk):
@@ -161,14 +167,7 @@ def split_rows_by_sizes(rows: np.ndarray, sizes) -> list[tuple[int, ...]]:
             if nw == 1:
                 cols.append(words[:, 0].tolist())
             else:
-                buf = np.ascontiguousarray(words).tobytes()
-                w8 = nw * 8
-                cols.append(
-                    [
-                        int.from_bytes(buf[i * w8 : (i + 1) * w8], "little")
-                        for i in range(words.shape[0])
-                    ]
-                )
+                cols.append(rows_to_ints(words))
         out.extend(zip(*cols))
     return out
 

@@ -9,8 +9,8 @@ factors per call, ``/root/reference/gf2bv/_internal.c:359-502``): solving
 TPU-shaped: the per-instance affine columns are appended as extra 128-word
 tiles on the right of the packed matrix (anything past ``cols`` can never
 pivot — the panel scan's validity mask already guarantees it — so the
-rank-K updates simply carry the block along).  Up to ``MAX_RHS`` = 16384
-instances (4 appended tiles) ride a single blocked RREF for ~one extra
+rank-K updates simply carry the block along).  Up to ``MAX_RHS`` = 32768
+instances (8 appended tiles) ride a single blocked RREF for ~one extra
 word-tile of phase-2 work per 4096 instances; per-instance origins and
 unsatisfiability fall out of the appended block, and in mode 1 all
 instances share one kernel basis (same coefficient matrix => same null
@@ -200,7 +200,7 @@ def solve_multi_rhs(
     a32: (rows_pad, wp) uint32 packed matrix, host or device resident
     (its own bit-0 affine column is inert and ignored); rhs_bits:
     (B, rows) uint8 with instance k's affine bit per original row,
-    B <= MAX_RHS (16384).  Returns one entry per instance: a raw solution
+    B <= MAX_RHS (32768).  Returns one entry per instance: a raw solution
     int or None (mode 0), or an AffineSpace (mode 1) — all instances
     sharing one basis object (same coefficient matrix => same kernel).
 

@@ -34,7 +34,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core import packing
 from ..core.affine import AffineSpace
 from ..ops import multi_rhs
-from ..ops.gauss_blocked import K_PANEL, _pick_engines, rref_blocked
+from ..ops.gauss_blocked import K_PANEL, _pick_engines
 from . import mesh as meshlib
 from .mesh import _mesh_key
 
@@ -50,17 +50,12 @@ _CACHE_MAX = 8
 def _build(mesh, cols: int, wp: int, bw_d: int, k_panel: int,
            phase1: str, phase2: str):
     """Compiled shard_map solver for one (mesh, shape) combination."""
-    want = multi_rhs._tiles_for(bw_d) * multi_rhs._RHS_TILE
 
     def local(a_loc, rhs_loc):
-        if rhs_loc.shape[1] < want:
-            rhs_loc = jnp.pad(
-                rhs_loc, ((0, 0), (0, want - rhs_loc.shape[1]))
-            )
-        a_aug = jnp.concatenate([a_loc, rhs_loc], axis=1)
-        rref32, pof, _ = rref_blocked(a_aug, cols, k_panel, phase2, phase1)
-        origins32, unsat_words = multi_rhs._extract_multi(
-            rref32, pof, cols, wp, bw_d
+        # one shared augment/eliminate/extract implementation with the
+        # single-device path (tile padding, engine plumbing, extraction)
+        rref32, pof, origins32, unsat_words = multi_rhs.solve_multi_rhs_device(
+            a_loc, cols, rhs_loc, bw_d, k_panel, phase1, phase2
         )
         # the coefficient RREF and pivot map are device-invariant (the
         # appended block never influences pivoting), so returning them

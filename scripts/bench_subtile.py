@@ -148,7 +148,6 @@ def main():
     # per-call cost against the pl.when-copy trailing kernel at matching w0
     for dead in (1, 2, 3, 4):
         w0 = dead * 128
-        w0j = jnp.asarray(w0, jnp.int32)
 
         @functools.partial(jax.jit, static_argnames=("n", "dead"))
         def _chain_seg(a, sel, pf, n, dead):

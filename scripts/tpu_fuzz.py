@@ -642,6 +642,9 @@ if __name__ == "__main__":
     main(max(5, n // 5), cols=9000, backend="blocked", seed=seed ^ 0xDD)
     main(n, cols=700, backend="jax", seed=seed ^ 0x11)
     fuzz_batched(max(8, n // 2), seed=seed ^ 0x22)
+    # batch ABOVE VMEM_BATCH_MAX=16: the round-5 chunk loop (16 + padded
+    # tail) on the real chip, both modes
+    fuzz_batched(20, batch=20, cols=900, seed=seed ^ 0xEE)
     fuzz_sharded(max(6, n // 4), seed=seed ^ 0x33)
     fuzz_lazy(max(10, n // 2), seed=seed ^ 0x44)
     fuzz_quad(max(8, n // 3), seed=seed ^ 0x55)
