@@ -48,6 +48,7 @@ def main(scale: int = 1, seed: int = 0x5A4B) -> None:
     m.fuzz_capture(4 * scale, seed=seed ^ 0x66)
     m.fuzz_multi_rhs(3 * scale, seed=seed ^ 0x77)
     m.fuzz_multi_rhs_multitile(1 * scale, seed=seed ^ 0x88)
+    m.fuzz_mrhs_sharded(3 * scale, seed=seed ^ 0xF1)
     m.fuzz_sweep(4 * scale, seed=seed ^ 0x99)
     m.fuzz_captured_sweep(2 * scale, seed=seed ^ 0xAA)
     m.fuzz_native_route(12 * scale, seed=seed ^ 0xBB)

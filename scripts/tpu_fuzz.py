@@ -518,6 +518,62 @@ def fuzz_multi_rhs(n=8, seed=0x3B5):
     print(f"TPU fuzz [multi-RHS cols={cols}]: {n} sweeps OK")
 
 
+def fuzz_mrhs_sharded(n=4, seed=0x6D2):
+    """Mesh-sharded multi-RHS (parallel/multi_rhs_sharded.py) vs the
+    single-device path: random structures x random instance batches
+    (ragged over the device count, planted unsats), both modes, on a
+    (n_devices, 1) mesh — 8 virtual shards on the CPU soak, the 1-device
+    wrapper sanity on the real chip."""
+    import jax
+
+    from gf2bv_tpu.ops import multi_rhs
+    from gf2bv_tpu.ops.gauss_blocked import K_PANEL, _pad
+    from gf2bv_tpu.parallel import mesh as meshlib
+    from gf2bv_tpu.parallel.multi_rhs_sharded import solve_multi_rhs_sharded
+
+    rng = np.random.default_rng(seed)
+    mesh = meshlib.make_mesh(batch=jax.device_count(), rows=1)
+    cols, rows = 900, 950  # fixed shape: one compile for the sweep
+    for i in range(n):
+        nb = int(rng.integers(3, 60))
+        coeff = rng.integers(0, 2, size=(rows, cols)).astype(np.uint8)
+        coeff[rows - 1] = coeff[0] ^ coeff[1]
+        if rng.integers(0, 2):  # sometimes underdetermined
+            coeff[:, rng.permutation(cols)[: int(rng.integers(1, 30))]] = 0
+        rhs = []
+        for k in range(nb):
+            secret = rng.integers(0, 2, size=cols).astype(np.uint8)
+            b = (coeff @ secret) % 2
+            if rng.integers(0, 3) == 0:
+                b[rows - 1] ^= 1  # planted unsat
+            rhs.append(b)
+        eqs = packing.pack_bits(
+            np.concatenate([np.zeros((rows, 1), np.uint8), coeff], axis=1),
+            1 + cols,
+        )
+        a32 = _pad(eqs, K_PANEL, word_align=128)
+        mode = int(rng.integers(0, 2))
+        got = solve_multi_rhs_sharded(
+            a32, cols, np.stack(rhs), mode, mesh=mesh
+        )
+        want = multi_rhs.solve_multi_rhs(a32, cols, np.stack(rhs), mode)
+        assert len(got) == len(want) == nb
+        for k, (g, w) in enumerate(zip(got, want)):
+            assert (g is None) == (w is None), f"[mrhs-sh {i}.{k}] unsat"
+            if g is None:
+                continue
+            if mode == 0:
+                assert g == w, f"[mrhs-sh {i}.{k}]"
+            else:
+                assert g.origin == w.origin, f"[mrhs-sh {i}.{k}] o"
+                assert g.basis == w.basis, f"[mrhs-sh {i}.{k}] b"
+        print(f"[mrhs-sh {i}] nb={nb} mode={mode} OK", file=sys.stderr)
+    print(
+        f"TPU fuzz [multi-RHS sharded {mesh.shape[meshlib.BATCH_AXIS]}-dev "
+        f"mesh cols={cols}]: {n} sweeps OK"
+    )
+
+
 def fuzz_multi_rhs_multitile(n=2, seed=0x4C1):
     """The MULTI-TILE multi-RHS path (nb > 4096: several appended 128-word
     tiles ride one elimination) on the real chip.  The full batch is
@@ -651,6 +707,7 @@ if __name__ == "__main__":
     fuzz_capture(max(8, n // 3), seed=seed ^ 0x66)
     fuzz_multi_rhs(max(6, n // 4), seed=seed ^ 0x77)
     fuzz_multi_rhs_multitile(2, seed=seed ^ 0x88)
+    fuzz_mrhs_sharded(max(3, n // 8), seed=seed ^ 0xF1)
     fuzz_sweep(max(6, n // 4), seed=seed ^ 0x99)
     fuzz_captured_sweep(max(3, n // 6), seed=seed ^ 0xAA)
     fuzz_native_route(max(8, n // 3), seed=seed ^ 0xBB)
