@@ -269,7 +269,8 @@ class LinearSystem:
 
     # -- guess sweeps: every candidate rides ONE elimination ------------------
 
-    def _solve_sweep_raw(self, zeros, guesses, candidates, mode: int):
+    def _solve_sweep_raw(self, zeros, guesses, candidates, mode: int,
+                         mesh=None):
         """Shared core of the sweep API (see :meth:`solve_one_sweep`).
 
         Pinning the SAME bit expressions to different values changes only
@@ -286,10 +287,11 @@ class LinearSystem:
         # one shared-memo materialization walk for zeros + guesses
         materialize_pending((*zeros, *guesses))
         return self._sweep_from_eqs(
-            self.get_eqs_packed(zeros), guesses, candidates, mode
+            self.get_eqs_packed(zeros), guesses, candidates, mode, mesh=mesh
         )
 
-    def _sweep_from_eqs(self, base, guesses, candidates, mode: int):
+    def _sweep_from_eqs(self, base, guesses, candidates, mode: int,
+                        mesh=None):
         """Sweep core over an already-packed base matrix ``base`` (its
         affine column carries the bound constants); shared by the zeros
         path above and CapturedTrace.solve_one_sweep."""
@@ -375,7 +377,23 @@ class LinearSystem:
 
         from ..ops.solver import _resolve_backend
 
-        if _resolve_backend(self._backend, self._cols) == "native":
+        native = _resolve_backend(self._backend, self._cols) == "native"
+        if mesh is not None and native:
+            import warnings
+
+            warnings.warn(
+                "solve_one_sweep: this process resolved to the native host "
+                "backend, so the mesh is not used (candidates run on the "
+                "host multi-RHS engine); unset GF2BV_TPU_CPU_NATIVE or "
+                "pass backend='blocked' to shard over devices",
+                stacklevel=3,
+            )
+        n_shards = 1
+        if mesh is not None and not native:
+            from ..parallel.multi_rhs_sharded import shard_capacity
+
+            mesh, n_shards, _ = shard_capacity(mesh)
+        if native:
             from .. import _native
 
             if not _native.available():
@@ -427,13 +445,43 @@ class LinearSystem:
         # the native host engine consumes the bit form as-is.
         base_aff = (eqs[:, 0] & np.uint64(1)).astype(np.uint8)
         out: list = []
-        for c0 in range(0, B, multi_rhs.MAX_RHS):
-            nb = min(multi_rhs.MAX_RHS, B - c0)
+        for c0 in range(0, B, multi_rhs.MAX_RHS * n_shards):
+            nb = min(multi_rhs.MAX_RHS * n_shards, B - c0)
             if run_chunk is not None:  # native: (B, rows) bit matrix
                 rhs = np.broadcast_to(base_aff, (nb, rows)).copy()
                 if G:
                     rhs[:, rows - G:] ^= bits[c0 : c0 + nb]
                 out.extend(run_chunk(rhs))
+            elif n_shards > 1:
+                # candidates sharded over the mesh batch axis: one direct-
+                # packed block per device (same structured build), the
+                # matrix replicated (parallel/multi_rhs_sharded.py)
+                from ..parallel.multi_rhs_sharded import (
+                    solve_multi_rhs_sharded,
+                )
+
+                nb_d = -(-nb // n_shards)
+                bw_d = multi_rhs._bw_for(nb_d)
+                blocks = []
+                for d in range(n_shards):
+                    sl = bits[c0 + d * nb_d : c0 + min(nb, (d + 1) * nb_d)]
+                    if sl.shape[0] == 0:
+                        blocks.append(
+                            np.zeros((a_dev.shape[0], bw_d), np.uint32)
+                        )
+                        continue
+                    blocks.append(
+                        multi_rhs._pack_rhs_affine_sweep(
+                            base_aff, sl, a_dev.shape[0], bw_d
+                        )
+                    )
+                out.extend(
+                    solve_multi_rhs_sharded(
+                        a_dev, self._cols, None, mode, mesh=mesh,
+                        basis_cache=bcache,
+                        rhs_packed=np.concatenate(blocks, axis=1), nb=nb,
+                    )
+                )
             else:
                 bw = multi_rhs._bw_for(nb)
                 packed = multi_rhs._pack_rhs_affine_sweep(
@@ -447,7 +495,8 @@ class LinearSystem:
                 )
         return [None if bad else r for bad, r in zip(forced_unsat, out)]
 
-    def solve_one_sweep(self, zeros, guesses, candidates=None):
+    def solve_one_sweep(self, zeros, guesses, candidates=None, *,
+                        mesh=None):
         """Guess-and-solve sweep: pin the bit expressions in ``guesses`` to
         every candidate assignment and solve ALL of them with ONE
         elimination.
@@ -464,15 +513,21 @@ class LinearSystem:
         None where that assignment is unsatisfiable.  The classic attack
         loop "for each guess: re-solve" (reference idiom) costs one full
         factorization per guess; here the shared coefficient matrix makes
-        each guess one appended RHS column."""
-        raws = self._solve_sweep_raw(zeros, guesses, candidates, 0)
+        each guess one appended RHS column.
+
+        ``mesh``: shard candidates over the mesh's batch axis with the
+        coefficient matrix replicated (parallel/multi_rhs_sharded.py —
+        zero collectives; per-chunk capacity n_devices * 32768)."""
+        raws = self._solve_sweep_raw(zeros, guesses, candidates, 0,
+                                     mesh=mesh)
         return self._convert_sols_batch(raws)
 
     def solve_all_sweep(self, zeros, guesses, candidates=None, *,
-                        max_dimension: int = 16):
+                        max_dimension: int = 16, mesh=None):
         """Sweep returning one solution generator per candidate (or None
         where unsatisfiable); all candidates share one kernel basis."""
-        spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1)
+        spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1,
+                                       mesh=mesh)
         return [
             None if sp is None else self._enumerate_space(sp, max_dimension)
             for sp in spaces
@@ -826,7 +881,7 @@ class QuadraticSystem(LinearSystem):
         return out
 
     def solve_one_sweep(self, zeros, guesses, candidates=None, *,
-                        max_dimension: int = 16):
+                        max_dimension: int = 16, mesh=None):
         """Guess-and-solve sweep (see :meth:`LinearSystem.solve_one_sweep`),
         consistency-filtered: a raw mode-0 point can violate the monomial
         consistency relations, so each candidate's solution space enumerates
@@ -840,7 +895,8 @@ class QuadraticSystem(LinearSystem):
         attack needs their rank (e.g. examples/nlfsr_ex.py's 2-bit
         bruteforce), sweep with the batched per-system solver
         (parallel.batch.solve_batch_systems) instead."""
-        spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1)
+        spaces = self._solve_sweep_raw(zeros, guesses, candidates, 1,
+                                       mesh=mesh)
         return self._first_consistent_per_candidate(spaces, max_dimension)
 
     def _first_consistent_per_candidate(self, spaces, max_dimension: int):

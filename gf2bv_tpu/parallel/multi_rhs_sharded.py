@@ -77,16 +77,30 @@ def _build(mesh, cols: int, wp: int, bw_d: int, k_panel: int,
     return jax.jit(fn)
 
 
+def shard_capacity(mesh=None) -> tuple:
+    """(n_dev, per-chunk instance capacity) of a batch-axis mesh."""
+    mesh = mesh if mesh is not None else meshlib.make_mesh()
+    if meshlib.ROWS_AXIS in mesh.shape and mesh.shape[meshlib.ROWS_AXIS] > 1:
+        raise ValueError(
+            "multi-RHS sharding uses the batch axis; use a (batch, 1) mesh "
+            "(row-shard one huge system with parallel.solve_sharded instead)"
+        )
+    n_dev = mesh.shape[meshlib.BATCH_AXIS]
+    return mesh, n_dev, n_dev * multi_rhs.MAX_RHS
+
+
 def solve_multi_rhs_sharded(
     a32,
     cols: int,
-    rhs_bits: np.ndarray,
+    rhs_bits: np.ndarray | None,
     mode: int = 0,
     mesh=None,
     k_panel: int | None = None,
     phase1: str | None = None,
     phase2: str | None = None,
     basis_cache: dict | None = None,
+    rhs_packed: np.ndarray | None = None,
+    nb: int | None = None,
 ):
     """Solve the SAME coefficient matrix for many affine columns, instances
     sharded across the mesh batch axis (``ops/multi_rhs.solve_multi_rhs``
@@ -97,39 +111,51 @@ def solve_multi_rhs_sharded(
     bit-0 affine column is inert); rhs_bits: (B, rows) uint8.  B may
     exceed N * MAX_RHS only by chunking at the caller (as in
     ``LinearSystem._sweep_from_eqs``).
+
+    ``rhs_packed``/``nb``: pre-packed alternative (pass ``rhs_bits=None``):
+    a (rows_pad, n_dev * bw_d) uint32 block — device d's instances in
+    word columns [d*bw_d, (d+1)*bw_d) in ``_pack_rhs`` layout, bw_d the
+    bucket for ceil(nb / n_dev).  Structured-RHS callers (the guess
+    sweep) build this directly instead of materializing (B, rows) bits.
     """
-    mesh = mesh if mesh is not None else meshlib.make_mesh()
-    if meshlib.ROWS_AXIS in mesh.shape and mesh.shape[meshlib.ROWS_AXIS] > 1:
-        raise ValueError(
-            "solve_multi_rhs_sharded shards instances over the batch axis; "
-            "use a (batch, 1) mesh (row-shard one huge system with "
-            "parallel.solve_sharded instead)"
-        )
-    n_dev = mesh.shape[meshlib.BATCH_AXIS]
+    mesh, n_dev, _ = shard_capacity(mesh)
 
     a_dev = jnp.asarray(a32, jnp.uint32)
     rows_pad, wp = a_dev.shape
-    nb = rhs_bits.shape[0]
-    if nb == 0:
-        return []
-    nb_d = -(-nb // n_dev)
-    if nb_d > multi_rhs.MAX_RHS:
-        raise ValueError(
-            f"{nb} instances over {n_dev} devices is {nb_d}/device, above "
-            f"MAX_RHS={multi_rhs.MAX_RHS}; chunk the batch"
-        )
-    bw_d = multi_rhs._bw_for(nb_d)
+    if rhs_packed is not None:
+        if nb is None:
+            raise ValueError("rhs_packed requires nb")
+        if nb == 0:
+            return []
+        nb_d = -(-nb // n_dev)
+        bw_d, rem = divmod(rhs_packed.shape[1], n_dev)
+        if rem or bw_d != multi_rhs._bw_for(nb_d):
+            raise ValueError(
+                f"rhs_packed width {rhs_packed.shape[1]} != n_dev * bucket "
+                f"({n_dev} * {multi_rhs._bw_for(nb_d)}) for nb={nb}"
+            )
+    else:
+        nb = rhs_bits.shape[0]
+        if nb == 0:
+            return []
+        nb_d = -(-nb // n_dev)
+        if nb_d > multi_rhs.MAX_RHS:
+            raise ValueError(
+                f"{nb} instances over {n_dev} devices is {nb_d}/device, "
+                f"above MAX_RHS={multi_rhs.MAX_RHS}; chunk the batch"
+            )
+        bw_d = multi_rhs._bw_for(nb_d)
 
-    # per-device packed blocks, concatenated along the (sharded) word axis
-    rhs_bits = np.asarray(rhs_bits, np.uint8)
-    blocks = []
-    for d in range(n_dev):
-        sl = rhs_bits[d * nb_d : (d + 1) * nb_d]
-        if sl.shape[0] == 0:  # trailing empty shard: all-zero instances
-            blocks.append(np.zeros((rows_pad, bw_d), np.uint32))
-            continue
-        blocks.append(multi_rhs._pack_rhs(sl, rows_pad, bw_d))
-    rhs_packed = np.concatenate(blocks, axis=1)
+        # per-device packed blocks, concatenated along the sharded word axis
+        rhs_bits = np.asarray(rhs_bits, np.uint8)
+        blocks = []
+        for d in range(n_dev):
+            sl = rhs_bits[d * nb_d : (d + 1) * nb_d]
+            if sl.shape[0] == 0:  # trailing empty shard: all-zero instances
+                blocks.append(np.zeros((rows_pad, bw_d), np.uint32))
+                continue
+            blocks.append(multi_rhs._pack_rhs(sl, rows_pad, bw_d))
+        rhs_packed = np.concatenate(blocks, axis=1)
 
     k_panel = k_panel or K_PANEL
     auto1, auto2 = _pick_engines(wp + multi_rhs._tiles_for(bw_d) * 128)

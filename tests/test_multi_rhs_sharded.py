@@ -143,3 +143,29 @@ def test_captured_batch_routes_through_mesh():
     want = tmpl.solve_raw_batch(batch, 0)
     assert got == want
     assert sum(r is not None for r in got) == len(batch)
+
+
+def test_sweep_routes_through_mesh():
+    """solve_one_sweep(mesh=...) == the unsharded sweep, end-to-end
+    through the public API (candidates sharded, direct-packed blocks)."""
+    import random
+
+    from gf2bv_tpu import LinearSystem
+    from gf2bv_tpu.crypto.lfsr import GaloisLFSR
+
+    WIDTH, TAPS = 56, (1 << 55) | (1 << 23) | 0b1011
+    key = random.Random(77).getrandbits(WIDTH) | 1
+    stream = GaloisLFSR(WIDTH, TAPS, key)
+    observed = [stream() for _ in range(50)]
+
+    lin = LinearSystem([WIDTH])
+    (x,) = lin.gens()
+    sym = GaloisLFSR(WIDTH, TAPS, x)
+    zeros = [sym() ^ o for o in observed]
+    guesses = [x[i] for i in range(WIDTH - 7, WIDTH)]  # 128 candidates
+
+    mesh = meshlib.make_mesh(batch=jax.device_count(), rows=1)
+    got = lin.solve_one_sweep(zeros, guesses, mesh=mesh)
+    want = lin.solve_one_sweep(zeros, guesses)
+    assert got == want
+    assert any(s is not None and s[0] == key for s in got)
