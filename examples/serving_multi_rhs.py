@@ -18,6 +18,13 @@ virtual CPU mesh:
         GF2BV_FORCE_CPU=1 python examples/serving_multi_rhs.py
 """
 
+import os
+
+# On a CPU-pinned run the auto backend would route to the native host
+# engine and (with a warning) ignore the mesh — this example exists to
+# demonstrate the SHARDED path, so keep the device backends in play.
+os.environ.setdefault("GF2BV_TPU_CPU_NATIVE", "0")
+
 import _bootstrap  # noqa: F401  (repo imports, compile cache, GF2BV_FORCE_CPU)
 
 import random

@@ -184,14 +184,15 @@ class CapturedTrace:
             warnings.warn(
                 "solve_raw_batch: this process resolved to the native host "
                 "backend, so the mesh is not used (instances run on the "
-                "host multi-RHS engine); unset GF2BV_TPU_CPU_NATIVE or "
+                "host multi-RHS engine); set GF2BV_TPU_CPU_NATIVE=0 or "
                 "pass backend='blocked' to shard over devices",
                 stacklevel=2,
             )
         if mesh is not None and cs.backend != "native":
-            from ..parallel import mesh as meshlib
+            from ..parallel.multi_rhs_sharded import shard_capacity
 
-            chunk_cap *= mesh.shape[meshlib.BATCH_AXIS]
+            mesh, _, cap = shard_capacity(mesh)  # validates the mesh shape
+            chunk_cap = cap
         for c0 in range(0, len(values_batch), chunk_cap):
             chunk = values_batch[c0 : c0 + chunk_cap]
             affs = self._affine_matrix(exprs, cs.widths, chunk)

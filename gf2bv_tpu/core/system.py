@@ -384,9 +384,9 @@ class LinearSystem:
             warnings.warn(
                 "solve_one_sweep: this process resolved to the native host "
                 "backend, so the mesh is not used (candidates run on the "
-                "host multi-RHS engine); unset GF2BV_TPU_CPU_NATIVE or "
+                "host multi-RHS engine); set GF2BV_TPU_CPU_NATIVE=0 or "
                 "pass backend='blocked' to shard over devices",
-                stacklevel=3,
+                stacklevel=4,
             )
         n_shards = 1
         if mesh is not None and not native:
@@ -455,31 +455,23 @@ class LinearSystem:
             elif n_shards > 1:
                 # candidates sharded over the mesh batch axis: one direct-
                 # packed block per device (same structured build), the
-                # matrix replicated (parallel/multi_rhs_sharded.py)
+                # matrix replicated; the shard-block layout is owned by
+                # pack_shard_blocks (parallel/multi_rhs_sharded.py)
                 from ..parallel.multi_rhs_sharded import (
+                    pack_shard_blocks,
                     solve_multi_rhs_sharded,
                 )
 
-                nb_d = -(-nb // n_shards)
-                bw_d = multi_rhs._bw_for(nb_d)
-                blocks = []
-                for d in range(n_shards):
-                    sl = bits[c0 + d * nb_d : c0 + min(nb, (d + 1) * nb_d)]
-                    if sl.shape[0] == 0:
-                        blocks.append(
-                            np.zeros((a_dev.shape[0], bw_d), np.uint32)
-                        )
-                        continue
-                    blocks.append(
-                        multi_rhs._pack_rhs_affine_sweep(
-                            base_aff, sl, a_dev.shape[0], bw_d
-                        )
-                    )
+                packed, _ = pack_shard_blocks(
+                    bits[c0 : c0 + nb], nb, n_shards, a_dev.shape[0],
+                    lambda sl, rp, bw: multi_rhs._pack_rhs_affine_sweep(
+                        base_aff, sl, rp, bw
+                    ),
+                )
                 out.extend(
                     solve_multi_rhs_sharded(
                         a_dev, self._cols, None, mode, mesh=mesh,
-                        basis_cache=bcache,
-                        rhs_packed=np.concatenate(blocks, axis=1), nb=nb,
+                        basis_cache=bcache, rhs_packed=packed, nb=nb,
                     )
                 )
             else:

@@ -78,7 +78,9 @@ def _build(mesh, cols: int, wp: int, bw_d: int, k_panel: int,
 
 
 def shard_capacity(mesh=None) -> tuple:
-    """(n_dev, per-chunk instance capacity) of a batch-axis mesh."""
+    """Validate a batch-axis mesh; returns ``(mesh, n_dev, per-chunk
+    instance capacity)`` (the mesh is defaulted/echoed so callers can pass
+    None)."""
     mesh = mesh if mesh is not None else meshlib.make_mesh()
     if meshlib.ROWS_AXIS in mesh.shape and mesh.shape[meshlib.ROWS_AXIS] > 1:
         raise ValueError(
@@ -87,6 +89,28 @@ def shard_capacity(mesh=None) -> tuple:
         )
     n_dev = mesh.shape[meshlib.BATCH_AXIS]
     return mesh, n_dev, n_dev * multi_rhs.MAX_RHS
+
+
+def pack_shard_blocks(instances, nb: int, n_dev: int, rows_pad: int,
+                      pack_fn) -> tuple[np.ndarray, int]:
+    """THE owner of the sharded-block layout: split ``nb`` instances into
+    ``n_dev`` contiguous shards of ``nb_d = ceil(nb / n_dev)`` (instance g
+    lives on device ``g // nb_d`` — the extractor's ``divmod`` mapping),
+    pack each shard with ``pack_fn(slice, rows_pad, bw_d)``, zero-fill
+    empty tail shards, and concatenate along the sharded word axis.
+    Returns ``(packed (rows_pad, n_dev * bw_d) uint32, bw_d)``.  Both the
+    generic bit-matrix path and the sweep's structured-RHS path build
+    through here so the layout can never diverge from the extraction."""
+    nb_d = -(-nb // n_dev)
+    bw_d = multi_rhs._bw_for(nb_d)
+    blocks = []
+    for d in range(n_dev):
+        sl = instances[d * nb_d : (d + 1) * nb_d]
+        if sl.shape[0] == 0:  # trailing empty shard: phantom instances
+            blocks.append(np.zeros((rows_pad, bw_d), np.uint32))
+            continue
+        blocks.append(pack_fn(sl, rows_pad, bw_d))
+    return np.concatenate(blocks, axis=1), bw_d
 
 
 def solve_multi_rhs_sharded(
@@ -144,18 +168,10 @@ def solve_multi_rhs_sharded(
                 f"{nb} instances over {n_dev} devices is {nb_d}/device, "
                 f"above MAX_RHS={multi_rhs.MAX_RHS}; chunk the batch"
             )
-        bw_d = multi_rhs._bw_for(nb_d)
-
-        # per-device packed blocks, concatenated along the sharded word axis
-        rhs_bits = np.asarray(rhs_bits, np.uint8)
-        blocks = []
-        for d in range(n_dev):
-            sl = rhs_bits[d * nb_d : (d + 1) * nb_d]
-            if sl.shape[0] == 0:  # trailing empty shard: all-zero instances
-                blocks.append(np.zeros((rows_pad, bw_d), np.uint32))
-                continue
-            blocks.append(multi_rhs._pack_rhs(sl, rows_pad, bw_d))
-        rhs_packed = np.concatenate(blocks, axis=1)
+        rhs_packed, bw_d = pack_shard_blocks(
+            np.asarray(rhs_bits, np.uint8), nb, n_dev, rows_pad,
+            lambda sl, rp, bw: multi_rhs._pack_rhs(sl, rp, bw),
+        )
 
     k_panel = k_panel or K_PANEL
     auto1, auto2 = _pick_engines(wp + multi_rhs._tiles_for(bw_d) * 128)
