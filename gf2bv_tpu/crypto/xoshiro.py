@@ -63,3 +63,44 @@ class Xoshiro256starstar:
 
     def __call__(self):
         return self.temper(self.step())
+
+
+def _next_state128(s0, s1):
+    """One xoroshiro128 transition (a=24, b=16, c=37), as formulas."""
+    t = s1 ^ s0
+    return (
+        rotl(s0, _W, 24) ^ t ^ trunc(t << 16, _W),
+        rotl(t, _W, 37),
+    )
+
+
+class Xoroshiro128starstar:
+    """xoroshiro128** (Blackman-Vigna): two 64-bit words of state.
+
+    Same shape as :class:`Xoshiro256starstar` (and the reference model it
+    mirrors, ``/root/reference/gf2bv/crypto/xoshiro.py``): the rotl/shift/
+    xor transition is GF(2)-linear; the ``*5, rotl 7, *9`` scrambler is
+    inverted outside the system with :meth:`untemper`.  Output reads the
+    pre-step ``s0``.
+    """
+
+    def __init__(self, s):
+        if len(s) != 2:
+            raise ValueError("xoroshiro128 state must be 2 words")
+        self.s = list(s)
+
+    @classmethod
+    def generate(cls) -> "Xoroshiro128starstar":
+        return cls([secrets.randbits(_W) for _ in range(2)])
+
+    temper = staticmethod(Xoshiro256starstar.temper)
+    untemper = staticmethod(Xoshiro256starstar.untemper)
+
+    def step(self):
+        """Advance the state; return the pre-step s0 (the linear output)."""
+        result = self.s[0]
+        self.s = list(_next_state128(*self.s))
+        return result
+
+    def __call__(self):
+        return self.temper(self.step())

@@ -143,3 +143,105 @@ def test_well512_truncated_outputs():
     assert rec is not None
     rep = Well512(list(rec))
     assert all(rep() >> 24 == o for o in outs)
+
+
+def test_xorshift128plus_step_matches_plus_output_state():
+    # __call__ (concrete "+" output) advances exactly one step()
+    rnd = random.Random(9)
+    s0, s1 = rnd.getrandbits(64), rnd.getrandbits(64)
+    from gf2bv_tpu.crypto.xorshift import Xorshift128Plus
+
+    a = Xorshift128Plus(s0, s1)
+    b = Xorshift128Plus(s0, s1)
+    out = a()
+    b.step()
+    assert (a.s0, a.s1) == (b.s0, b.s1)
+    assert out == (a.s0 + a.s1) & ((1 << 64) - 1)
+
+
+def test_xorshift128plus_symbolic_plus_output_rejected():
+    from gf2bv_tpu.crypto.xorshift import Xorshift128Plus
+
+    lin = LinearSystem([64, 64])
+    sym = Xorshift128Plus(*lin.gens())
+    with pytest.raises(TypeError):
+        sym()
+
+
+def test_xorshift128plus_recovery_from_step_outputs():
+    rnd = random.Random(10)
+    s0, s1 = rnd.getrandbits(64), rnd.getrandbits(64)
+    from gf2bv_tpu.crypto.xorshift import Xorshift128Plus
+
+    ref = Xorshift128Plus(s0, s1)
+    outs = [ref.step() for _ in range(3)]
+
+    lin = LinearSystem([64, 64])
+    sym = Xorshift128Plus(*lin.gens())
+    zeros = [sym.step() ^ o for o in outs]
+    rec = lin.solve_one(zeros)
+    assert rec is not None and tuple(rec) == (s0, s1)
+
+
+def test_v8_math_random_recovery_and_prediction():
+    from gf2bv_tpu.crypto.xorshift import V8MathRandom, Xorshift128Plus
+
+    rnd = random.Random(11)
+    s0, s1 = rnd.getrandbits(64), rnd.getrandbits(64)
+    victim = V8MathRandom(s0, s1)
+    observed = [victim.random() for _ in range(5)]
+
+    lin = LinearSystem([64, 64])
+    sym = Xorshift128Plus(*lin.gens())
+    sym_outs = [sym.step() for _ in range(V8MathRandom.CACHE_SIZE)]
+    zeros = [
+        sym_outs[V8MathRandom.CACHE_SIZE - 1 - i][12:]
+        ^ V8MathRandom.mantissa(d)
+        for i, d in enumerate(observed)
+    ]
+    rec = lin.solve_one(zeros)
+    assert rec is not None and tuple(rec) == (s0, s1)
+
+    clone = V8MathRandom(*rec)
+    assert [clone.random() for _ in range(5)] == observed
+    assert [clone.random() for _ in range(3)] == [
+        victim.random() for _ in range(3)
+    ]
+
+
+def test_v8_math_random_cache_is_consumed_in_reverse():
+    from gf2bv_tpu.crypto.xorshift import V8MathRandom, Xorshift128Plus
+
+    rnd = random.Random(12)
+    s0, s1 = rnd.getrandbits(64), rnd.getrandbits(64)
+    v8 = V8MathRandom(s0, s1)
+    eng = Xorshift128Plus(s0, s1)
+    gen = [V8MathRandom.to_double(eng.step()) for _ in range(64)]
+    got = [v8.random() for _ in range(64)]
+    assert got == gen[::-1]
+    # mantissa() round-trips to_double exactly
+    assert all(
+        V8MathRandom.mantissa(V8MathRandom.to_double(m << 12)) == m
+        for m in (0, 1, (1 << 52) - 1, 0xDEADBEEF)
+    )
+
+
+def test_xoroshiro128starstar_recovery():
+    from gf2bv_tpu.crypto.xoshiro import Xoroshiro128starstar
+
+    rnd = random.Random(13)
+    seed = [rnd.getrandbits(64) for _ in range(2)]
+    ref = Xoroshiro128starstar(list(seed))
+    outs = [ref() for _ in range(3)]
+    assert all(
+        Xoroshiro128starstar.temper(Xoroshiro128starstar.untemper(o)) == o
+        for o in outs
+    )
+
+    lin = LinearSystem([64, 64])
+    sym = Xoroshiro128starstar(list(lin.gens()))
+    zeros = [sym.step() ^ Xoroshiro128starstar.untemper(o) for o in outs]
+    rec = lin.solve_one(zeros)
+    assert rec is not None and list(rec) == seed
+    rep = Xoroshiro128starstar(list(rec))
+    assert all(rep() == o for o in outs)
