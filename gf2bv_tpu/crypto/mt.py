@@ -103,8 +103,19 @@ class MT19937(MersenneTwister):
         l=18,
     )
 
+    # init_genrand's Knuth-line multiplier (mt19937ar.c; also what C++
+    # std::mt19937's seed(value) uses per [rand.eng.mers])
+    SEED_F = 1812433253
+
     def __init__(self, mt):
         super().__init__(mt, **self.PARAMS)
+
+    @classmethod
+    def from_seed(cls, seed: int):
+        """Seed exactly like ``init_genrand`` / ``std::mt19937(seed)``:
+        ``mt[0] = seed``; ``mt[i] = f*(mt[i-1] ^ (mt[i-1] >> (w-2))) + i``.
+        (Concrete-only — seeding multiplies, which is not GF(2)-linear.)"""
+        return cls(_seed_array(seed, cls.PARAMS["w"], cls.PARAMS["n"], cls.SEED_F))
 
     def to_python_random(self) -> random.Random:
         """Export the current state into a CPython ``random.Random`` (state
@@ -112,3 +123,41 @@ class MT19937(MersenneTwister):
         rng = random.Random()
         rng.setstate((3, tuple(self.mt) + (self.mti,), None))
         return rng
+
+
+class MT19937_64(MersenneTwister):
+    """The 64-bit MT19937-64 parameter set (``std::mt19937_64``,
+    mt19937-64.c).  Same generic machinery as the 32-bit twin — the state is
+    312 64-bit words (19968 unknown bits, the same flagship scale), and the
+    whole generator is GF(2)-linear, so state recovery from ~320 observed
+    outputs is the identical attack.  The reference ships only the 32-bit
+    instance (``/root/reference/gf2bv/crypto/mt.py:84-102``); this class is
+    new surface its generic-parameter design makes one PARAMS dict away."""
+
+    PARAMS = dict(
+        w=64, n=312, m=156, r=31,
+        a=0xB5026F5AA96619E9,
+        u=29, d=0x5555555555555555,
+        s=17, b=0x71D67FFFEDA60000,
+        t=37, c=0xFFF7EEE000000000,
+        l=43,
+    )
+
+    SEED_F = 6364136223846793005  # init_genrand64's multiplier
+
+    def __init__(self, mt):
+        super().__init__(mt, **self.PARAMS)
+
+    @classmethod
+    def from_seed(cls, seed: int):
+        """Seed exactly like ``init_genrand64`` / ``std::mt19937_64(seed)``."""
+        return cls(_seed_array(seed, cls.PARAMS["w"], cls.PARAMS["n"], cls.SEED_F))
+
+
+def _seed_array(seed: int, w: int, n: int, f: int) -> list[int]:
+    mask = (1 << w) - 1
+    mt = [seed & mask]
+    for i in range(1, n):
+        prev = mt[-1]
+        mt.append((f * (prev ^ (prev >> (w - 2))) + i) & mask)
+    return mt
