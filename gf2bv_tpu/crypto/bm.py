@@ -69,6 +69,38 @@ def berlekamp_massey(bits) -> tuple[int, int]:
     return L, C
 
 
+def linear_complexity_profile(bits) -> list[int]:
+    """Linear complexity of every prefix: ``out[k] = L(bits[:k+1])``.
+
+    The standard randomness diagnostic (a truly random stream tracks
+    ``k / 2``); computed in one Berlekamp–Massey pass, so it costs the same
+    as a single :func:`berlekamp_massey` call.
+    """
+    bits = [int(b) & 1 for b in bits]
+    profile = []
+    C, B, L, m = 1, 1, 0, 1
+    for n, s in enumerate(bits):
+        d = s
+        poly = C >> 1
+        i = 1
+        while poly and i <= L:
+            if poly & 1:
+                d ^= bits[n - i]
+            poly >>= 1
+            i += 1
+        if d:
+            T = C
+            C ^= B << m
+            if 2 * L <= n:
+                L, B, m = n + 1 - L, T, 1
+            else:
+                m += 1
+        else:
+            m += 1
+        profile.append(L)
+    return profile
+
+
 def fibonacci_taps(bits) -> tuple[int, int]:
     """Berlekamp–Massey, reported in :class:`FibonacciLFSR` tap convention.
 

@@ -54,3 +54,23 @@ class ReflectedCRC:
 def CRC32() -> ReflectedCRC:
     """Standard CRC-32 (zlib/PNG): poly 0x04C11DB7 reflected."""
     return ReflectedCRC(32, 0xEDB88320, 0xFFFFFFFF, 0xFFFFFFFF)
+
+
+def CRC32C() -> ReflectedCRC:
+    """CRC-32C (Castagnoli; iSCSI/ext4/SSE4.2): poly 0x1EDC6F41 reflected."""
+    return ReflectedCRC(32, 0x82F63B78, 0xFFFFFFFF, 0xFFFFFFFF)
+
+
+def CRC16_MODBUS() -> ReflectedCRC:
+    """CRC-16/MODBUS: poly 0x8005 reflected, init 0xFFFF, no xorout."""
+    return ReflectedCRC(16, 0xA001, 0xFFFF, 0x0000)
+
+
+def CRC16_CCITT_KERMIT() -> ReflectedCRC:
+    """CRC-16/KERMIT (reflected CCITT): poly 0x1021 reflected, init 0."""
+    return ReflectedCRC(16, 0x8408, 0x0000, 0x0000)
+
+
+def CRC64_XZ() -> ReflectedCRC:
+    """CRC-64/XZ (GO-ECMA reflected): poly 0x42F0E1EBA9EA3693 reflected."""
+    return ReflectedCRC(64, 0xC96C5795D7870F42, (1 << 64) - 1, (1 << 64) - 1)

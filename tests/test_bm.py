@@ -12,6 +12,7 @@ from gf2bv_tpu.crypto.bm import (
     galois_lfsr_from_stream,
     galois_taps,
     lfsr_from_stream,
+    linear_complexity_profile,
 )
 from gf2bv_tpu.crypto.lfsr import FibonacciLFSR, GaloisLFSR
 
@@ -81,6 +82,21 @@ def test_short_prefix_still_consistent():
     bits = [1, 1, 0, 1, 0, 0, 1]
     rec = lfsr_from_stream(bits)
     assert stream_of(rec, len(bits)) == bits
+
+
+def test_linear_complexity_profile():
+    rng = random.Random(42)
+    bits = [rng.getrandbits(1) for _ in range(200)]
+    prof = linear_complexity_profile(bits)
+    # each prefix value matches an independent BM run
+    for k in (0, 1, 7, 63, 199):
+        assert prof[k] == berlekamp_massey(bits[: k + 1])[0]
+    # profile is non-decreasing and a random stream tracks k/2
+    assert all(a <= b for a, b in zip(prof, prof[1:]))
+    assert abs(prof[-1] - 100) <= 8
+    # an LFSR stream's profile saturates at the register width
+    lfsr_bits = stream_of(FibonacciLFSR(64, P64_MASK, 0xDEADBEEF), 300)
+    assert linear_complexity_profile(lfsr_bits)[-1] == 64
 
 
 def test_galois_taps_roundtrip_exact():

@@ -110,6 +110,33 @@ def test_crc16_modbus_concrete():
     assert got == 0x4B37  # published check value
 
 
+def test_crc_factories_check_values():
+    """Every packaged CRC variant against its published '123456789' check."""
+    from gf2bv_tpu.crypto.crc import CRC16_CCITT_KERMIT, CRC16_MODBUS, CRC32C, CRC64_XZ
+
+    data = int.from_bytes(b"123456789", "little")
+    for factory, expect in [
+        (CRC32, 0xCBF43926),
+        (CRC32C, 0xE3069283),
+        (CRC16_MODBUS, 0x4B37),
+        (CRC16_CCITT_KERMIT, 0x2189),
+        (CRC64_XZ, 0x995DC9BBDF1939FA),
+    ]:
+        assert factory().process(data, 72) == expect, factory.__name__
+
+
+def test_crc64_symbolic_preimage():
+    """64 unknown bits pinned by one CRC-64/XZ observation: exact preimage."""
+    from gf2bv_tpu.crypto.crc import CRC64_XZ
+
+    secret = b"\x13\x37\xc0\xde\xfa\xce\xb0\x0c"
+    target = CRC64_XZ().process(int.from_bytes(secret, "little"), 64)
+    lin = LinearSystem([64])
+    (x,) = lin.gens()
+    rec = lin.solve_one([CRC64_XZ().process(x) ^ target])
+    assert rec is not None and rec[0].to_bytes(8, "little") == secret
+
+
 def test_well512_recovery():
     from gf2bv_tpu.crypto.well import Well512
 
